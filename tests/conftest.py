@@ -1,0 +1,31 @@
+"""Test config: force JAX onto a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharded-code tests follow the
+standard JAX practice of simulating N devices on CPU via
+--xla_force_host_platform_device_count (SURVEY.md §4(d)).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# The axon TPU plugin registers even under JAX_PLATFORMS=cpu; the config knob
+# is honored, so set it before any backend is initialized.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import pathlib
+
+import pytest
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+
+
+@pytest.fixture(scope="session")
+def fixtures_dir() -> pathlib.Path:
+    return FIXTURES
