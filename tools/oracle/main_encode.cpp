@@ -35,6 +35,7 @@ int main(int argc, char** argv) {
   InitNAL();
   InitCL();
   frameCount = 0;
+  currFrameCount = 0;   // the C++/CLI Starter maintains this (fer_h264.cpp:188,196)
   nu.rbsp_byte = new unsigned char[500000];
   nu.forbidden_zero_bit = 0;
   LoadY4MHeader();
@@ -52,6 +53,7 @@ int main(int argc, char** argv) {
   while ((int)frameCount != endFrame) {
     if (ReadFromY4M() == -1) break;
     frameCount++;
+    currFrameCount++;
     printf("Frame #%lu\n", frameCount);
     writeToYUV();
     nu.nal_unit_type = selectNALUnitType();
