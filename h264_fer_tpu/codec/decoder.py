@@ -29,6 +29,7 @@ from ..bitstream.bitio import BitReader
 from ..bitstream.expgolomb import read_se, read_te, read_ue
 from ..bitstream.params import I_SLICE, P_SLICE, PPS, SPS, SliceHeader
 from ..ops import cavlc, intra, mc, transform
+from . import mvpred
 from ..ops import tables as T
 
 # Unified mb classification
@@ -400,181 +401,12 @@ class Decoder:
             curr % self.wmb == 0, curr < self.wmb,
         )
 
-    # -- MV derivation (mode_pred.cpp) -------------------------------------
-    def _mb_inter_parts(self, addr: int):
-        """Neighbor MB's partition MV lookup helper: returns None if intra."""
-        t = int(self.mb_type[addr])
-        if t == MB_SKIP:
-            return self.mv[addr]
-        if self.mb_intra[addr]:
-            return None
-        return self.mv[addr]
-
-    def _neighbor_mv(self, addr: int, part_idx: int):
-        """get_neighbour_mv (mode_pred.cpp:48-58): (mvx, mvy, refidx)."""
-        parts = self._mb_inter_parts(addr)
-        if parts is None:
-            return 0, 0, -1
-        return int(parts[part_idx, 0, 0]), int(parts[part_idx, 0, 1]), 0
-
-    def _part_idx_of(self, addr: int, xw: int, yw: int) -> int:
-        """derivation_process_for_macroblock_and_submb_partition
-        (mode_pred.cpp:100-111), for the neighbor's own partitioning."""
-        t = int(self.mb_type[addr])
-        if t == MB_SKIP or self.mb_intra[addr]:
-            return 0  # P_Skip is one 16x16 part; intra resolves to 0
-        pw = [16, 16, 8, 8, 8][t]
-        ph = [16, 8, 16, 8, 8][t]
-        return ((yw // ph) << 1) + (xw // pw)
-
-    def _locate_neighbor(self, curr: int, xn: int, yn: int):
-        """DeriveNeighbourLocation (mode_pred.cpp:61-97): returns
-        (addr, xw, yw) or None."""
-        if xn > 15 and yn >= 0:
-            return None
-        if yn > 15:
-            return None
-        if 0 <= xn < 16 and yn >= 0:
-            return curr, xn, yn
-        wmb = self.wmb
-        if 0 <= xn < 16:  # above
-            if curr < wmb:
-                return None
-            return curr - wmb, xn, yn + 16
-        if xn > 15:  # above-right
-            if curr < wmb:
-                return None
-            addr = curr - wmb + 1
-            if addr % wmb == 0:
-                return None
-            return addr, xn - 16, yn + 16
-        # xn < 0
-        if yn < 0:  # above-left
-            if curr < wmb or curr % wmb == 0:
-                return None
-            return curr - wmb - 1, xn + 16, yn + 16
-        if curr % wmb == 0:
-            return None
-        return curr - 1, xn + 16, yn
-
-    def _predict_mv_luma(self, curr: int, mb_type: int, cls: MbClass,
-                         part_idx: int, sub_mb_type=None) -> tuple[int, int]:
-        """PredictMV_Luma (mode_pred.cpp:252-371) median/directional
-        prediction for partition part_idx. Returns predicted (mvx, mvy).
-
-        For P_8x8/P_8x8ref0 the reference's effective predictor is
-        PredictMV_LumaSubMB(part, 0) — it overwrites the plain prediction
-        before mvd is added (mode_pred.cpp:335-341) — including its
-        `sub_mb_type[subMbPartIdx]` (i.e. [0]) indexing quirk
-        (mode_pred.cpp:174). We reproduce both.
-        """
-        # partition origin
-        if cls.num_parts == 1:
-            x = y = 0
-        elif mb_type == 1:  # 16x8
-            x, y = 0, 8 * part_idx
-        elif mb_type == 2:  # 8x16
-            x, y = 8 * part_idx, 0
-        else:  # 8x8
-            x, y = 8 * (part_idx & 1), 8 * (part_idx >> 1)
-        pred_part_width = 16
-        if mb_type in (3, 4):
-            # predPartWidth from this partition's sub type (mode_pred.cpp:135-139)
-            pred_part_width = 4 if sub_mb_type[part_idx] in (2, 3) else 8
-        if mb_type == 2:
-            pred_part_width = 8
-
-        cands = []  # (valid, mvx, mvy, refidx)
-        for xn, yn in ((x - 1, y), (x, y - 1), (x + pred_part_width, y - 1)):
-            loc = self._locate_neighbor(curr, xn, yn)
-            cands.append(loc)
-        # C invalid → D (mode_pred.cpp:264-270)
-        if cands[2] is None:
-            cands[2] = self._locate_neighbor(curr, x - 1, y - 1)
-
-        mvn = [None, None, None]
-        refn = [-1, -1, -1]
-        for i, loc in enumerate(cands):
-            if loc is not None:
-                addr, xw, yw = loc
-                pidx = self._part_idx_of(addr, xw, yw)
-                mvx, mvy, ref = self._neighbor_mv(addr, pidx)
-                mvn[i] = (mvx, mvy)
-                refn[i] = ref
-
-        if mb_type in (3, 4):
-            # SubMB special cases with the [0] indexing quirk: the examined
-            # sub type is sub_mb_type[0] regardless of partition
-            # (mode_pred.cpp:174,191-215, subMbPartIdx == 0 cases).
-            s0 = sub_mb_type[0]
-            if s0 == 1 and mvn[1] is not None and refn[1] == 0:  # P_L0_8x4
-                return mvn[1]
-            if s0 == 2 and mvn[0] is not None and refn[0] == 0:  # P_L0_4x8
-                return mvn[0]
-        else:
-            # directional special cases (16x8 / 8x16)
-            if mb_type == 1 and part_idx == 0 and mvn[1] is not None and refn[1] == 0:
-                return mvn[1]
-            if mb_type == 1 and part_idx == 1 and mvn[0] is not None and refn[0] == 0:
-                return mvn[0]
-            if mb_type == 2 and part_idx == 0 and mvn[0] is not None and refn[0] == 0:
-                return mvn[0]
-            if mb_type == 2 and part_idx == 1 and mvn[2] is not None and refn[2] == 0:
-                return mvn[2]
-
-        # availability fallbacks (mode_pred.cpp:299-315)
-        if mvn[0] is None and mvn[1] is None:
-            mvn[0] = (0, 0)
-            refn[0] = 0
-        if mvn[0] is None and mvn[1] is not None:
-            mvn[0] = (0, 0)
-            refn[0] = -1
-        if mvn[1] is None:
-            mvn[1] = mvn[0]
-            refn[1] = refn[0]
-        if mvn[2] is None:
-            mvn[2] = mvn[0]
-            refn[2] = refn[0]
-
-        match = [refn[i] == 0 for i in range(3)]
-        if match[0] and not match[1] and not match[2]:
-            return mvn[0]
-        if not match[0] and match[1] and not match[2]:
-            return mvn[1]
-        if not match[0] and not match[1] and match[2]:
-            return mvn[2]
-        xs = sorted(m[0] for m in mvn)
-        ys = sorted(m[1] for m in mvn)
-        return xs[1], ys[1]
-
+    # -- MV derivation: shared logic in mvpred.py --------------------------
     def _derive_skip_mv(self, curr: int) -> None:
         """PredictMV P_Skip rule (mode_pred.cpp:381-406)."""
-        wmb = self.wmb
-        if curr < wmb or curr % wmb == 0:
-            mv = (0, 0)
-        else:
-            # reference checks: top MB [2][0], left MB [1][0]; an intra
-            # neighbor makes its NumMbPart flag-term nonzero ⇒ NOT
-            # "zero-mv", so only a genuinely zero-mv inter neighbor (or
-            # frame edge) forces the zero vector (mode_pred.cpp:395-396).
-            top_zero = self._skip_neighbor_zero(curr - wmb, 2)
-            left_zero = self._skip_neighbor_zero(curr - 1, 1)
-            if top_zero or left_zero:
-                mv = (0, 0)
-            else:
-                cls = MbClass(False, num_parts=1)
-                mv = self._predict_mv_luma(curr, 0, cls, 0, None)
+        mv = mvpred.derive_skip_mv(self, curr)
         self.mv[curr, :, :, 0] = mv[0]
         self.mv[curr, :, :, 1] = mv[1]
-
-    def _skip_neighbor_zero(self, addr: int, pidx: int) -> bool:
-        """One term of the reference's P_Skip zero test
-        (mode_pred.cpp:395-396): true iff the neighbor is an inter MB with
-        refIdx 0 and zero MV at partition pidx."""
-        if self.mb_intra[addr]:
-            return False
-        parts = self.mv[addr]
-        return int(parts[pidx, 0, 0]) == 0 and int(parts[pidx, 0, 1]) == 0
 
     def _derive_inter_mv(self, curr, mb_type, cls, sub_mb_type, mvd) -> None:
         """PredictMV + DeriveMVs for non-skip inter MBs
@@ -582,35 +414,15 @@ class Decoder:
         (reference quirk)."""
         part_mv = np.zeros((4, 2), np.int32)
         for p in range(cls.num_parts):
-            px, py = self._predict_mv_luma(curr, mb_type, cls, p, sub_mb_type)
+            px, py = mvpred.predict_mv_luma(
+                self, curr, mb_type, cls.num_parts, p, sub_mb_type)
             part_mv[p, 0] = px + int(mvd[p, 0, 0])
             part_mv[p, 1] = py + int(mvd[p, 0, 1])
             # store incrementally: later partitions may reference earlier ones
-            self._store_part_mvs(curr, mb_type, cls, part_mv, p)
-        self._store_part_mvs(curr, mb_type, cls, part_mv, cls.num_parts - 1)
-        # final fan-out [i][0] → [i][j] (DeriveMVs, mode_pred.cpp:470-482)
-        self.mv[curr, :, :, 0] = self.mv[curr, :, 0:1, 0]
-        self.mv[curr, :, :, 1] = self.mv[curr, :, 0:1, 1]
-
-    def _store_part_mvs(self, curr, mb_type, cls, part_mv, upto) -> None:
-        """Populate mv[curr][quadrant][0] per partition layout
-        (DeriveMVs fan-out, mode_pred.cpp:434-460)."""
-        if cls.num_parts == 1:
-            for q in range(4):
-                self.mv[curr, q, 0] = part_mv[0]
-        elif mb_type == 1:  # 16x8: quadrants 0,1 = part0; 2,3 = part1
-            self.mv[curr, 0, 0] = part_mv[0]
-            self.mv[curr, 1, 0] = part_mv[0]
-            self.mv[curr, 2, 0] = part_mv[1]
-            self.mv[curr, 3, 0] = part_mv[1]
-        elif mb_type == 2:  # 8x16: quadrants 0,2 = part0; 1,3 = part1
-            self.mv[curr, 0, 0] = part_mv[0]
-            self.mv[curr, 2, 0] = part_mv[0]
-            self.mv[curr, 1, 0] = part_mv[1]
-            self.mv[curr, 3, 0] = part_mv[1]
-        else:  # 8x8
-            for q in range(min(upto + 1, 4)):
-                self.mv[curr, q, 0] = part_mv[q]
+            mvpred.store_part_mvs(self, curr, mb_type, cls.num_parts, part_mv, p)
+        mvpred.store_part_mvs(
+            self, curr, mb_type, cls.num_parts, part_mv, cls.num_parts - 1)
+        mvpred.fan_out(self, curr)
 
     # -- reconstruction ----------------------------------------------------
     def _mb_origin(self, curr: int):

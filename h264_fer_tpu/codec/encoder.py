@@ -1,0 +1,856 @@
+"""H.264 Baseline encoder (host orchestration; TPU pipeline in codec/tpu_*).
+
+Capability-parity re-implementation of the reference encoder
+(rbsp_encoding.cpp RBSP_encode + intra.cpp intraPredictionEncoding +
+moestimation.cpp interEncoding), structured so that:
+
+- The **intra path replicates the reference CPU mode decision exactly**
+  (SATD per mode with availability gating, early-exit-at-zero, the
+  coded_mb_size bit-cost oracle arbitrating Intra_4x4 vs Intra_16x16) —
+  I-frame output is byte-identical to the reference encoder's
+  (tests/test_encoder.py).
+- The **inter path keeps the reference's decision structure** (adaptive
+  MAXDIFF, P_Skip ExactPixels early-out, 8x8-granularity search merged into
+  16x16/16x8/8x16/P_8x8 partitions, mvd against the spec predictor, the
+  optional MAXDIFF lossy source prefilter, moestimation.cpp:392-585) but
+  replaces the feature-indexed candidate heuristic with a clean full
+  search ± window (integer SAD + quarter-pel refinement) — an RD-stronger,
+  TPU-idiomatic equivalent (SURVEY.md §7 stage 6).
+
+Bitstream-level choices are hardwired like the reference (profile 66,
+one slice/frame, pic_init_qp=14+qp, slice_qp_delta=-14, mb_qp_delta=0).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..bitstream import nal as nal_mod
+from ..bitstream.bitio import BitWriter
+from ..bitstream.expgolomb import write_se, write_ue
+from ..bitstream.params import I_SLICE, P_SLICE, PPS, SPS, SliceHeader
+from ..ops import cavlc, intra, mc, transform
+from ..ops import tables as T
+from . import mvpred
+from .decoder import MB_SKIP, _BLK_XY, _chroma_blk_neighbors, _luma_blk_neighbors
+
+
+@dataclass
+class EncoderConfig:
+    """Knob parity with Starter::PostaviParametre (fer_h264.cpp:169-184)."""
+
+    qp: int = 28
+    intra_every: int = 100  # forced IDR period (frames)
+    window_size: int = 16  # ME search window (full width, ± window/2)
+    maxdiff: int = -1  # tolerated error; -1 = per-MB adaptive
+    lossy_prefilter: bool = True  # MAXDIFF source filtering (reference default)
+    scene_cut_idr: bool = True  # SAD-threshold IDR selection
+    qpel: bool = True  # quarter-pel ME refinement
+
+
+# Availability gates for encoder mode trials (intra.cpp:983-989,1021-1031).
+_I16_GATE = {0: "top", 1: "left", 3: "corner"}
+_I4_GATE = {0: "top", 1: "left", 3: "top", 4: "corner", 5: "corner",
+            6: "corner", 7: "top", 8: "left"}
+
+
+class Encoder:
+    def __init__(self, width: int, height: int, cfg: EncoderConfig) -> None:
+        assert width % 16 == 0 and height % 16 == 0
+        self.cfg = cfg
+        self.w, self.h = width, height
+        self.wmb, self.hmb = width // 16, height // 16
+        self.nmb = self.wmb * self.hmb
+        self.sps = SPS(pic_width_in_mbs=self.wmb,
+                       pic_height_in_map_units=self.hmb)
+        self.pps = PPS(pic_init_qp=14 + cfg.qp)
+        self.qpy = cfg.qp
+        self.qpc = transform.chroma_qp(self.qpy, self.pps.chroma_qp_index_offset)
+        # session state (reference globals)
+        self.frame_num = 0
+        self.idr_pic_id = 0
+        self.poc_lsb = 0
+        self.first_frame = True
+        self.curr_frame_count = 0
+        self.ref_y = self.ref_cb = self.ref_cr = None
+        # per-frame arrays (mirror decoder's)
+        self.mb_type = np.zeros(self.nmb, np.int32)
+        self.mb_intra = np.zeros(self.nmb, bool)
+        self.mb_i4x4 = np.zeros(self.nmb, bool)
+        self.tc_luma = np.zeros((self.nmb, 16), np.int32)
+        self.tc_chroma = np.zeros((2, self.nmb, 4), np.int32)
+        self.cbp_luma = np.zeros(self.nmb, np.int32)
+        self.cbp_chroma = np.zeros(self.nmb, np.int32)
+        self.i4x4_mode = np.zeros((self.nmb, 16), np.int32)
+        self.mv = np.zeros((self.nmb, 4, 4, 2), np.int32)
+        self.stats = []  # per-frame dicts (DohvatiStatistiku parity)
+
+    # ------------------------------------------------------------------
+    # Session API (encode() / NastaviEncode() parity, fer_h264.cpp:81-134)
+
+    def headers(self) -> bytes:
+        w = BitWriter()
+        self.sps.write(w)
+        w.rbsp_trailing_bits()
+        out = nal_mod.write_nal_unit(1, nal_mod.NAL_SPS, w.getvalue())
+        w = BitWriter()
+        self.pps.write(w)
+        w.rbsp_trailing_bits()
+        out += nal_mod.write_nal_unit(1, nal_mod.NAL_PPS, w.getvalue())
+        return out
+
+    def encode_frame(self, y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> bytes:
+        """Encode one frame, returning its Annex-B slice NAL."""
+        import time
+
+        t0 = time.time()
+        is_idr = self._select_nal_unit_type(y)
+        self.curr_frame_count += 1
+        # working frame: source, progressively overwritten by reconstruction
+        self.y = y.astype(np.int32).copy()
+        self.cb = cb.astype(np.int32).copy()
+        self.cr = cr.astype(np.int32).copy()
+        rbsp = self._encode_slice(is_idr)
+        nal_type = nal_mod.NAL_IDR if is_idr else nal_mod.NAL_NOT_IDR
+        out = nal_mod.write_nal_unit(1, nal_type, rbsp)
+        # DPB deep copy (ref_frames.cpp:17-35)
+        self.ref_y = self.y.copy()
+        self.ref_cb = self.cb.copy()
+        self.ref_cr = self.cr.copy()
+        self.stats.append({
+            "bytes": len(out),
+            "ms": (time.time() - t0) * 1000.0,
+            "idr": is_idr,
+            "mb_types": np.bincount(
+                np.where(self.mb_type == MB_SKIP, 5, np.minimum(self.mb_type, 6)),
+                minlength=7,
+            ).tolist(),
+        })
+        return out
+
+    def encode_sequence(self, frames) -> bytes:
+        out = bytearray(self.headers())
+        for y, cb, cr in frames:
+            out += self.encode_frame(y, cb, cr)
+        return bytes(out)
+
+    def reconstructed(self):
+        return (
+            self.y.astype(np.uint8),
+            self.cb.astype(np.uint8),
+            self.cr.astype(np.uint8),
+        )
+
+    # ------------------------------------------------------------------
+    def _select_nal_unit_type(self, y: np.ndarray) -> bool:
+        """selectNALUnitType (ref_frames.cpp:185-234)."""
+        if self.ref_y is None or self.curr_frame_count % self.cfg.intra_every == 0:
+            return True
+        if not self.cfg.scene_cut_idr:
+            return False
+        sad = int(np.abs(y.astype(np.int64) - self.ref_y.astype(np.int64)).sum())
+        return sad > (self.nmb << 12)
+
+    def _encode_slice(self, is_idr: bool) -> bytes:
+        # slice header state machine (rbsp_encoding.cpp:139-173 + shd_write)
+        if is_idr:
+            slice_type = I_SLICE
+            if self.first_frame:
+                self.first_frame = False
+                self.idr_pic_id = 0
+            elif self.frame_num == 0:
+                self.idr_pic_id += 1
+            else:
+                self.idr_pic_id = 0
+            self.frame_num = 0
+            self.poc_lsb = 0
+        else:
+            slice_type = P_SLICE
+            self.frame_num += 1
+            self.poc_lsb += 2
+
+        shd = SliceHeader(
+            slice_type=slice_type,
+            frame_num=self.frame_num & (self.sps.max_frame_num - 1),
+            idr_pic_id=self.idr_pic_id,
+            pic_order_cnt_lsb=self.poc_lsb & ((1 << self.sps.log2_max_pic_order_cnt_lsb) - 1),
+            slice_qp_delta=-14,
+        )
+        w = BitWriter()
+        nal_type = nal_mod.NAL_IDR if is_idr else nal_mod.NAL_NOT_IDR
+        shd.write(w, self.sps, self.pps, nal_type, 1)
+
+        self.slice_type = slice_type
+        mb_skip_run = 0
+        for curr in range(self.nmb):
+            if slice_type == P_SLICE:
+                res = self._inter_encode_mb(curr)
+                if res is None:  # P_Skip
+                    mb_skip_run += 1
+                    continue
+                write_ue(w, mb_skip_run)
+                mb_skip_run = 0
+                self._write_inter_mb(w, curr, *res)
+            else:
+                self._intra_encode_mb(w, curr)
+        if mb_skip_run > 0:
+            write_ue(w, mb_skip_run)
+        w.rbsp_trailing_bits()
+        return w.getvalue()
+
+    # ------------------------------------------------------------------
+    # nC with encoder-side CBP gating (residual.cpp:87-106 allNeighbouringZero)
+
+    def _nc_luma(self, curr: int, blk: int) -> int:
+        a_same, a_blk, b_same, b_blk = _luma_blk_neighbors(blk)
+        return self._nc_pair(curr, a_same, a_blk, b_same, b_blk, True, -1)
+
+    def _nc_chroma(self, curr: int, c: int, blk: int) -> int:
+        a_same, a_blk, b_same, b_blk = _chroma_blk_neighbors(blk)
+        return self._nc_pair(curr, a_same, a_blk, b_same, b_blk, False, c)
+
+    def _nc_pair(self, curr, a_same, a_blk, b_same, b_blk, luma, c):
+        def n_of(addr, blk):
+            if int(self.mb_type[addr]) == MB_SKIP:
+                return 0
+            if luma:
+                if (int(self.cbp_luma[addr]) & (1 << (blk // 4))) == 0:
+                    return 0
+                return int(self.tc_luma[addr, blk])
+            if (int(self.cbp_chroma[addr]) & 2) == 0:
+                return 0
+            return int(self.tc_chroma[c, addr, blk])
+
+        left_edge = curr % self.wmb == 0
+        top_edge = curr < self.wmb
+        nA = nB = None
+        if a_same:
+            nA = n_of(curr, a_blk)
+        elif not left_edge:
+            nA = n_of(curr - 1, a_blk)
+        if b_same:
+            nB = n_of(curr, b_blk)
+        elif not top_edge:
+            nB = n_of(curr - self.wmb, b_blk)
+        if nA is not None and nB is not None:
+            return (nA + nB + 1) >> 1
+        if nA is not None:
+            return nA
+        if nB is not None:
+            return nB
+        return 0
+
+    # ------------------------------------------------------------------
+    # Whole-MB forward transform + quantization (quantizationTransform,
+    # quantizationTransform.cpp:349-486). Returns level arrays.
+
+    def _quantize_mb_luma_i16(self, src16, pred16):
+        diff = (src16 - pred16).astype(np.int32)
+        blocks = np.stack([
+            diff[by : by + 4, bx : bx + 4]
+            for bx, by in ((int(_BLK_XY[b, 0]), int(_BLK_XY[b, 1])) for b in range(16))
+        ])
+        d = transform.forward_transform_4x4(blocks)
+        q = transform.quantize_residual(d, self.qpy, True)
+        # DC in raster order of 4x4 blocks within the MB (x/4, y/4)
+        dc = np.zeros((4, 4), np.int32)
+        for b in range(16):
+            bx, by = int(_BLK_XY[b, 0]) // 4, int(_BLK_XY[b, 1]) // 4
+            dc[by, bx] = q[b, 0, 0]
+        qdc = transform.forward_dc_luma(dc, self.qpy)
+        i16dc = transform.zigzag_scan(qdc)
+        ac = transform.zigzag_scan(q)[:, 1:]  # drop index 0 per block
+        return i16dc, ac
+
+    def _quantize_mb_luma_4x4(self, src16, pred16):
+        diff = (src16 - pred16).astype(np.int32)
+        blocks = np.stack([
+            diff[by : by + 4, bx : bx + 4]
+            for bx, by in ((int(_BLK_XY[b, 0]), int(_BLK_XY[b, 1])) for b in range(16))
+        ])
+        d = transform.forward_transform_4x4(blocks)
+        q = transform.quantize_residual(d, self.qpy, False)
+        return transform.zigzag_scan(q)
+
+    def _quantize_mb_chroma(self, src_cb, src_cr, pred_cb, pred_cr):
+        out_dc = np.zeros((2, 4), np.int32)
+        out_ac = np.zeros((2, 4, 15), np.int32)
+        for ci, (src, pred) in enumerate(((src_cb, pred_cb), (src_cr, pred_cr))):
+            diff = (src - pred).astype(np.int32)
+            blocks = np.stack([
+                diff[(b // 2) * 4 : (b // 2) * 4 + 4, (b % 2) * 4 : (b % 2) * 4 + 4]
+                for b in range(4)
+            ])
+            d = transform.forward_transform_4x4(blocks)
+            q = transform.quantize_residual(d, self.qpc, True)
+            dc2 = np.array(
+                [[q[0, 0, 0], q[1, 0, 0]], [q[2, 0, 0], q[3, 0, 0]]], np.int32
+            )
+            qdc = transform.forward_dc_chroma(dc2, self.qpc)
+            out_dc[ci] = qdc.reshape(4)
+            out_ac[ci] = transform.zigzag_scan(q)[:, 1:]
+        return out_dc, out_ac
+
+    @staticmethod
+    def _cbp_from_levels(i16: bool, luma_ac, chroma_dc, chroma_ac):
+        """setCodedBlockPattern (rbsp_encoding.cpp:21-105)."""
+        cbp_luma = 0
+        for i8 in range(4):
+            if luma_ac[i8 * 4 : i8 * 4 + 4].any():
+                cbp_luma |= 1 << i8
+        if i16 and cbp_luma:
+            cbp_luma = 15
+        cbp_chroma = 0
+        if chroma_dc.any():
+            cbp_chroma |= 1
+        if chroma_ac.any():
+            cbp_chroma |= 2
+        if cbp_chroma == 3:
+            cbp_chroma = 2
+        return cbp_luma, cbp_chroma
+
+    # ------------------------------------------------------------------
+    # Reconstruction (same math as the decoder, writing the working frame)
+
+    def _reconstruct_luma_i16(self, curr, pred16, i16dc, ac):
+        x0, y0 = (curr % self.wmb) * 16, (curr // self.wmb) * 16
+        dcblk = transform.zigzag_unscan(i16dc)
+        dcv = transform.inverse_dc_luma(dcblk, self.qpy)
+        recon = np.zeros((16, 16), np.int32)
+        for b in range(16):
+            bx, by = int(_BLK_XY[b, 0]), int(_BLK_XY[b, 1])
+            lst = np.zeros(16, np.int32)
+            lst[0] = dcv[by >> 2, bx >> 2]
+            lst[1:] = ac[b]
+            res = transform.inverse_residual(
+                transform.zigzag_unscan(lst), self.qpy, True
+            )
+            recon[by : by + 4, bx : bx + 4] = res
+        self.y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(pred16 + recon, 0, 255)
+
+    def _reconstruct_luma_4x4_levels(self, curr, pred16, levels):
+        """Inter-style whole-MB luma reconstruction from LumaLevel lists."""
+        x0, y0 = (curr % self.wmb) * 16, (curr // self.wmb) * 16
+        blocks = transform.zigzag_unscan(levels)
+        res = transform.inverse_residual(blocks, self.qpy, False)
+        recon = np.zeros((16, 16), np.int32)
+        for b in range(16):
+            bx, by = int(_BLK_XY[b, 0]), int(_BLK_XY[b, 1])
+            recon[by : by + 4, bx : bx + 4] = res[b]
+        self.y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(pred16 + recon, 0, 255)
+
+    def _reconstruct_chroma(self, curr, pred_cb, pred_cr, chroma_dc, chroma_ac):
+        x0, y0 = (curr % self.wmb) * 8, (curr // self.wmb) * 8
+        for ci, (pred, plane) in enumerate(((pred_cb, self.cb), (pred_cr, self.cr))):
+            dcv = transform.inverse_dc_chroma(
+                chroma_dc[ci].reshape(2, 2), self.qpc
+            )
+            rmb = np.zeros((8, 8), np.int32)
+            for b in range(4):
+                lst = np.zeros(16, np.int32)
+                lst[0] = dcv[b // 2, b % 2]
+                lst[1:] = chroma_ac[ci, b]
+                res = transform.inverse_residual(
+                    transform.zigzag_unscan(lst), self.qpc, True
+                )
+                rmb[(b // 2) * 4 : (b // 2) * 4 + 4, (b % 2) * 4 : (b % 2) * 4 + 4] = res
+            plane[y0 : y0 + 8, x0 : x0 + 8] = np.clip(pred + rmb, 0, 255)
+
+    # ------------------------------------------------------------------
+    # Intra encoding (intraPredictionEncoding, intra.cpp:949-1110)
+
+    def _fetch_p33(self, curr):
+        x0, y0 = (curr % self.wmb) * 16, (curr // self.wmb) * 16
+        p = np.full(33, -1, np.int32)
+        if x0 > 0 and y0 > 0:
+            p[0] = self.y[y0 - 1, x0 - 1]
+        if x0 > 0:
+            p[1:17] = self.y[y0 : y0 + 16, x0 - 1]
+        if y0 > 0:
+            p[17:33] = self.y[y0 - 1, x0 : x0 + 16]
+        return p
+
+    def _fetch_p13(self, curr, blk):
+        x0, y0 = (curr % self.wmb) * 16, (curr // self.wmb) * 16
+        bx, by = int(_BLK_XY[blk, 0]), int(_BLK_XY[blk, 1])
+        x, y = x0 + bx, y0 + by
+        W = self.w
+        p = np.full(13, -1, np.int32)
+        if x > 0 and y > 0:
+            p[0] = self.y[y - 1, x - 1]
+        if x > 0:
+            p[1:5] = self.y[y : y + 4, x - 1]
+        if y > 0:
+            p[5:9] = self.y[y - 1, x : x + 4]
+            xf = x + 4
+            edge = (xf >= W) or (bx == 12 and by > 0)
+            if edge or blk in (3, 11):
+                p[9:13] = self.y[y - 1, x + 3]
+            else:
+                p[9:13] = self.y[y - 1, xf : xf + 4]
+        return p
+
+    def _fetch_p17(self, curr):
+        x0, y0 = (curr % self.wmb) * 8, (curr // self.wmb) * 8
+        out = []
+        for plane in (self.cb, self.cr):
+            p = np.full(17, -1, np.int32)
+            if x0 > 0 and y0 > 0:
+                p[0] = plane[y0 - 1, x0 - 1]
+            if x0 > 0:
+                p[1:9] = plane[y0 : y0 + 8, x0 - 1]
+            if y0 > 0:
+                p[9:17] = plane[y0 - 1, x0 : x0 + 8]
+            out.append(p)
+        return out
+
+    def _satd(self, src, pred):
+        """SATD = Σ|quantized transformed diff| (satdLuma4x4, intra.cpp:819-850).
+        src/pred: (..., 4, 4)."""
+        d = transform.forward_transform_4x4((src - pred).astype(np.int32))
+        q = transform.quantize_residual(d, self.qpy, False)
+        return np.abs(q).sum(axis=(-2, -1))
+
+    def _mb_src(self, curr):
+        x0, y0 = (curr % self.wmb) * 16, (curr // self.wmb) * 16
+        return self.y[y0 : y0 + 16, x0 : x0 + 16].copy()
+
+    def _mb_src_chroma(self, curr):
+        x0, y0 = (curr % self.wmb) * 8, (curr // self.wmb) * 8
+        return (
+            self.cb[y0 : y0 + 8, x0 : x0 + 8].copy(),
+            self.cr[y0 : y0 + 8, x0 : x0 + 8].copy(),
+        )
+
+    def _blocks_of(self, mb16):
+        return np.stack([
+            mb16[by : by + 4, bx : bx + 4]
+            for bx, by in ((int(_BLK_XY[b, 0]), int(_BLK_XY[b, 1])) for b in range(16))
+        ])
+
+    def _mpm(self, curr, blk):
+        """Most-probable-mode (setIntra4x4PredMode, intra.cpp:878-942)."""
+        a_same, a_blk, b_same, b_blk = _luma_blk_neighbors(blk)
+        left_edge = curr % self.wmb == 0
+        top_edge = curr < self.wmb
+        mode_a = mode_b = None
+        if a_same:
+            mode_a = int(self.i4x4_mode[curr, a_blk])
+        elif not left_edge:
+            addr = curr - 1
+            mode_a = int(self.i4x4_mode[addr, a_blk]) if self.mb_i4x4[addr] else 2
+        if b_same:
+            mode_b = int(self.i4x4_mode[curr, b_blk])
+        elif not top_edge:
+            addr = curr - self.wmb
+            mode_b = int(self.i4x4_mode[addr, b_blk]) if self.mb_i4x4[addr] else 2
+        if mode_a is None or mode_b is None or self.pps.constrained_intra_pred_flag:
+            mode_a = mode_b = 2
+        return min(mode_a, mode_b)
+
+    def _intra_mode_decision(self, curr):
+        """Exact CPU-path decision. Returns
+        (i16_mode or -1, chroma_mode, pred16, pred_cb, pred_cr, levels...)
+        and leaves the working frame reconstructed for the winner."""
+        src16 = self._mb_src(curr)
+        src_cb, src_cr = self._mb_src_chroma(curr)
+        src_blocks = self._blocks_of(src16)
+
+        # --- Intra16x16 candidate ---
+        p33 = self._fetch_p33(curr)
+        best16, min16 = None, None
+        for m in range(4):
+            gate = _I16_GATE.get(m)
+            if gate == "top" and p33[17] == -1:
+                continue
+            if gate == "left" and p33[1] == -1:
+                continue
+            if gate == "corner" and p33[0] == -1:
+                continue
+            pred = intra.predict_16x16(p33, m)
+            satd = int(self._satd(src_blocks, self._blocks_of(pred)).sum())
+            if min16 is None or satd < min16:
+                min16, best16 = satd, m
+        pred16 = intra.predict_16x16(p33, best16)
+        chroma_mode = int(intra.INTRA16_TO_CHROMA_MODE[best16])
+        pcb, pcr = self._fetch_p17(curr)
+        pred_cb = intra.predict_chroma(pcb, chroma_mode)
+        pred_cr = intra.predict_chroma(pcr, chroma_mode)
+
+        # levels + bit cost of the I16 candidate (coded_mb_size path)
+        i16dc, i16ac = self._quantize_mb_luma_i16(src16, pred16)
+        cdc, cac = self._quantize_mb_chroma(src_cb, src_cr, pred_cb, pred_cr)
+        cbp_l16, cbp_c16 = self._cbp_from_levels(True, i16ac, cdc, cac)
+        mb_type16 = T.i16_mb_type(best16, cbp_c16, cbp_l16 == 15)
+        size16 = self._mb_bit_size(
+            curr, mb_type16, True, None, chroma_mode,
+            i16dc, i16ac, None, cdc, cac, cbp_l16, cbp_c16,
+        )
+
+        # --- Intra4x4 candidate: per-block mode trial on source neighbors ---
+        self.mb_type[curr] = 0
+        self.mb_intra[curr] = True
+        self.mb_i4x4[curr] = True
+        modes = np.zeros(16, np.int32)
+        for blk in range(16):
+            p13 = self._fetch_p13(curr, blk)
+            bx, by = int(_BLK_XY[blk, 0]), int(_BLK_XY[blk, 1])
+            sblk = src16[by : by + 4, bx : bx + 4]
+            best, minv = None, None
+            for m in range(9):
+                gate = _I4_GATE.get(m)
+                if gate == "top" and p13[5] == -1:
+                    continue
+                if gate == "left" and p13[1] == -1:
+                    continue
+                if gate == "corner" and p13[0] == -1:
+                    continue
+                pred = intra.predict_4x4(p13, m)
+                satd = int(self._satd(sblk, pred))
+                if minv is None or satd < minv:
+                    minv, best = satd, m
+                    if minv == 0:
+                        break
+            modes[blk] = best
+        self.i4x4_mode[curr] = modes
+
+        # reconstruct 4x4 candidate in place (on reconstructed neighbors)
+        original = src16.copy()
+        x0, y0 = (curr % self.wmb) * 16, (curr // self.wmb) * 16
+        prev_flags = [False] * 16
+        rem_modes = [0] * 16
+        luma_levels = np.zeros((16, 16), np.int32)
+        pred4_full = np.zeros((16, 16), np.int32)
+        for blk in range(16):
+            mpm = self._mpm(curr, blk)
+            mode = int(modes[blk])
+            if mode == mpm:
+                prev_flags[blk] = True
+            else:
+                rem_modes[blk] = mode if mode < mpm else mode - 1
+            p13 = self._fetch_p13(curr, blk)
+            pred = intra.predict_4x4(p13, mode)
+            bx, by = int(_BLK_XY[blk, 0]), int(_BLK_XY[blk, 1])
+            pred4_full[by : by + 4, bx : bx + 4] = pred
+            diff = (original[by : by + 4, bx : bx + 4] - pred).astype(np.int32)
+            q = transform.quantize_residual(
+                transform.forward_transform_4x4(diff), self.qpy, False
+            )
+            luma_levels[blk] = transform.zigzag_scan(q)
+            res = transform.inverse_residual(q, self.qpy, False)
+            self.y[y0 + by : y0 + by + 4, x0 + bx : x0 + bx + 4] = np.clip(
+                pred + res, 0, 255
+            )
+
+        cbp_l4, cbp_c4 = self._cbp_from_levels(False, luma_levels, cdc, cac)
+        size4 = self._mb_bit_size(
+            curr, 0, False, prev_flags, chroma_mode,
+            None, None, luma_levels, cdc, cac, cbp_l4, cbp_c4,
+        )
+
+        if size4 < size16:
+            return (-1, chroma_mode, pred4_full, pred_cb, pred_cr,
+                    None, None, luma_levels, cdc, cac, prev_flags, rem_modes)
+        # restore source; 16x16 wins
+        self.y[y0 : y0 + 16, x0 : x0 + 16] = original
+        return (best16, chroma_mode, pred16, pred_cb, pred_cr,
+                i16dc, i16ac, None, cdc, cac, None, None)
+
+    def _mb_bit_size(self, curr, mb_type, i16, prev_flags, chroma_mode,
+                     i16dc, i16ac, luma_levels, cdc, cac, cbp_l, cbp_c) -> int:
+        """coded_mb_size for intra MBs (rbsp_encoding.cpp:330-488).
+
+        Note: like the reference, the CAVLC size pass updates this MB's
+        TotalCoeff state (used by in-MB nC chaining); the final write pass
+        recomputes it, and cross-MB reads are CBP-gated, so transient values
+        are harmless.
+        """
+        from ..bitstream.expgolomb import ue_code
+
+        total = ue_code(mb_type)[1]
+        if not i16:
+            for blk in range(16):
+                total += 1
+                if not prev_flags[blk]:
+                    total += 3
+        total += ue_code(chroma_mode)[1]
+        if not i16:
+            total += ue_code(int(T.CBP_TO_CODENUM_INTRA[(cbp_c << 4) | cbp_l]))[1]
+        if cbp_l > 0 or cbp_c > 0 or i16:
+            total += 1  # mb_qp_delta = 0
+            total += self._residual_bits(curr, i16, i16dc, i16ac,
+                                         luma_levels, cdc, cac, cbp_l, cbp_c)
+        return total
+
+    def _residual_bits(self, curr, i16, i16dc, i16ac, luma_levels, cdc, cac,
+                       cbp_l, cbp_c, writer=None) -> int:
+        """residual_write / residual_block_cavlc_size with TC state updates.
+
+        With `writer`, writes the bits; always returns the bit count.
+        """
+        # make CBP visible for in-MB nC gating
+        self.cbp_luma[curr] = cbp_l
+        self.cbp_chroma[curr] = cbp_c
+        total = 0
+
+        def emit(levels, nc, maxc):
+            nonlocal total
+            syms, tc = cavlc.block_symbols(list(levels), nc, maxc)
+            total += sum(n for _, n in syms)
+            if writer is not None:
+                for v, n in syms:
+                    writer.write(v, n)
+            return tc
+
+        if i16:
+            tc = emit(i16dc, self._nc_luma(curr, 0), 16)
+            self.tc_luma[curr, 0] = tc
+        for i8 in range(4):
+            for i4 in range(4):
+                blk = i8 * 4 + i4
+                if cbp_l & (1 << i8):
+                    if i16:
+                        tc = emit(i16ac[blk], self._nc_luma(curr, blk), 15)
+                    else:
+                        tc = emit(luma_levels[blk], self._nc_luma(curr, blk), 16)
+                    self.tc_luma[curr, blk] = tc
+        for c in range(2):
+            if cbp_c & 3:
+                emit(cdc[c], -1, 4)
+        for c in range(2):
+            for blk in range(4):
+                if cbp_c & 2:
+                    tc = emit(cac[c, blk], self._nc_chroma(curr, c, blk), 15)
+                    self.tc_chroma[c, curr, blk] = tc
+        return total
+
+    def _intra_encode_mb(self, w: BitWriter, curr: int) -> None:
+        (i16_mode, chroma_mode, pred16, pred_cb, pred_cr, i16dc, i16ac,
+         luma_levels, cdc, cac, prev_flags, rem_modes) = \
+            self._intra_mode_decision(curr)
+        src_cb, src_cr = self._mb_src_chroma(curr)
+
+        if i16_mode == -1:
+            self.mb_type[curr] = 0 if self.slice_type == I_SLICE else 5
+            self.mb_intra[curr] = True
+            self.mb_i4x4[curr] = True
+            cbp_l, cbp_c = self._cbp_from_levels(False, luma_levels, cdc, cac)
+            raw_type = 0 if self.slice_type == I_SLICE else 5
+            write_ue(w, raw_type)
+            for blk in range(16):
+                w.write_flag(prev_flags[blk])
+                if not prev_flags[blk]:
+                    w.write(rem_modes[blk], 3)
+            write_ue(w, chroma_mode)
+            write_ue(w, int(T.CBP_TO_CODENUM_INTRA[(cbp_c << 4) | cbp_l]))
+            if cbp_l > 0 or cbp_c > 0:
+                write_se(w, 0)  # mb_qp_delta
+                self._residual_bits(curr, False, None, None, luma_levels,
+                                    cdc, cac, cbp_l, cbp_c, writer=w)
+            else:
+                self.cbp_luma[curr] = cbp_l
+                self.cbp_chroma[curr] = cbp_c
+            self._reconstruct_chroma(curr, pred_cb, pred_cr, cdc, cac)
+        else:
+            cbp_l, cbp_c = self._cbp_from_levels(True, i16ac, cdc, cac)
+            mb_type = T.i16_mb_type(i16_mode, cbp_c, cbp_l == 15)
+            raw_type = mb_type if self.slice_type == I_SLICE else mb_type + 5
+            self.mb_type[curr] = raw_type
+            self.mb_intra[curr] = True
+            self.mb_i4x4[curr] = False
+            write_ue(w, raw_type)
+            write_ue(w, chroma_mode)
+            write_se(w, 0)  # mb_qp_delta (always present for I16x16)
+            self._residual_bits(curr, True, i16dc, i16ac, None, cdc, cac,
+                                cbp_l, cbp_c, writer=w)
+            self._reconstruct_luma_i16(curr, pred16, i16dc, i16ac)
+            self._reconstruct_chroma(curr, pred_cb, pred_cr, cdc, cac)
+
+    # ------------------------------------------------------------------
+    # Inter encoding (interEncoding structure, moestimation.cpp:392-585;
+    # search itself is ours: full integer SAD + quarter-pel refinement)
+
+    def _inter_encode_mb(self, curr: int):
+        """Returns None for P_Skip, else (mb_type, part_mvs, mvds,
+        pred, levels...) for _write_inter_mb."""
+        cfg = self.cfg
+        x0, y0 = (curr % self.wmb) * 16, (curr // self.wmb) * 16
+        src16 = self._mb_src(curr)
+        src_cb, src_cr = self._mb_src_chroma(curr)
+
+        # P_Skip trial (moestimation.cpp:402-425)
+        self.mb_type[curr] = MB_SKIP
+        self.mb_intra[curr] = False
+        self.mb_i4x4[curr] = False
+        skip_mv = mvpred.derive_skip_mv(self, curr)
+        self.mv[curr, :, :, 0] = skip_mv[0]
+        self.mv[curr, :, :, 1] = skip_mv[1]
+        pred_l, pred_cb, pred_cr = mc.mc_macroblock(
+            self.ref_y, self.ref_cb, self.ref_cr,
+            curr % self.wmb, curr // self.wmb, self.mv[curr],
+        )
+        if cfg.maxdiff == -1:
+            mean = int(src16.sum()) // 256
+            maxdiff = max(3, int(np.abs(src16 - mean).sum()) // 256)
+        else:
+            maxdiff = cfg.maxdiff
+        if int((np.abs(src16 - pred_l) <= maxdiff).sum()) == 256:
+            # skip: reconstruction = prediction (transformDecodingP_Skip)
+            self.tc_luma[curr] = 0
+            self.tc_chroma[:, curr] = 0
+            self.y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(pred_l, 0, 255)
+            cx0, cy0 = x0 // 2, y0 // 2
+            self.cb[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(pred_cb, 0, 255)
+            self.cr[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(pred_cr, 0, 255)
+            return None
+
+        # --- our ME: full integer search ± window/2 per 8x8 + qpel refine ---
+        part_mv = self._search_mb(curr, src16, maxdiff)
+
+        # merge into mb_type (moestimation.cpp:529-551)
+        mvx, mvy = part_mv[:, 0], part_mv[:, 1]
+        if (mvx == mvx[0]).all() and (mvy == mvy[0]).all():
+            mb_type = 0
+        elif mvx[0] == mvx[1] and mvy[0] == mvy[1] and mvx[2] == mvx[3] and mvy[2] == mvy[3]:
+            mb_type = 1
+            part_mv = part_mv[[0, 2, 2, 3]]
+        elif mvx[0] == mvx[2] and mvy[0] == mvy[2] and mvx[1] == mvx[3] and mvy[1] == mvy[3]:
+            mb_type = 2
+            part_mv = part_mv[[0, 1, 1, 3]]
+        else:
+            mb_type = 4  # P_8x8ref0 (reference's choice)
+        num_parts = [1, 2, 2, 4, 4][mb_type]
+
+        # mvd via spec prediction with earlier parts finalized
+        self.mb_type[curr] = mb_type
+        mvds = np.zeros((4, 2), np.int32)
+        final = np.zeros((4, 2), np.int32)
+        for p in range(num_parts):
+            px, py = mvpred.predict_mv_luma(
+                self, curr, mb_type, num_parts, p, [0, 0, 0, 0])
+            final[p] = part_mv[p]
+            mvds[p, 0] = int(part_mv[p, 0]) - px
+            mvds[p, 1] = int(part_mv[p, 1]) - py
+            mvpred.store_part_mvs(self, curr, mb_type, num_parts, final, p)
+        mvpred.store_part_mvs(self, curr, mb_type, num_parts, final, num_parts - 1)
+        mvpred.fan_out(self, curr)
+
+        pred_l, pred_cb, pred_cr = mc.mc_macroblock(
+            self.ref_y, self.ref_cb, self.ref_cr,
+            curr % self.wmb, curr // self.wmb, self.mv[curr],
+        )
+
+        # optional lossy MAXDIFF prefilter (moestimation.cpp:570-584)
+        if cfg.lossy_prefilter:
+            lm = np.abs(src16 - pred_l) < maxdiff
+            src16 = np.where(lm, pred_l, src16)
+            self.y[y0 : y0 + 16, x0 : x0 + 16] = src16
+            cmask_b = np.abs(src_cb - pred_cb) <= maxdiff
+            cmask_r = np.abs(src_cr - pred_cr) <= maxdiff
+            src_cb = np.where(cmask_b, pred_cb, src_cb)
+            src_cr = np.where(cmask_r, pred_cr, src_cr)
+            cx0, cy0 = x0 // 2, y0 // 2
+            self.cb[cy0 : cy0 + 8, cx0 : cx0 + 8] = src_cb
+            self.cr[cy0 : cy0 + 8, cx0 : cx0 + 8] = src_cr
+
+        luma_levels = self._quantize_mb_luma_4x4(src16, pred_l)
+        cdc, cac = self._quantize_mb_chroma(src_cb, src_cr, pred_cb, pred_cr)
+        cbp_l, cbp_c = self._cbp_from_levels(False, luma_levels, cdc, cac)
+        return (mb_type, num_parts, mvds, pred_l, pred_cb, pred_cr,
+                luma_levels, cdc, cac, cbp_l, cbp_c)
+
+    def _search_mb(self, curr, src16, maxdiff) -> np.ndarray:
+        """Full-search SAD per 8x8 block over ±window/2 integer positions,
+        then quarter-pel refinement around the best integer vector.
+
+        (The TPU pipeline batches this across the whole frame; see
+        kernels/me_pallas.py.)
+        Returns (4, 2) quarter-pel MVs.
+        """
+        cfg = self.cfg
+        W = cfg.window_size // 2
+        x0, y0 = (curr % self.wmb) * 16, (curr // self.wmb) * 16
+        out = np.zeros((4, 2), np.int32)
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        # cost = SAD + |mv − mvp| (the reference's rescoring metric,
+        # moestimation.cpp:460-470 — empirically better-calibrated for this
+        # 8x8 SAD scale than a λ(QP)·bits(mvd) schedule); mvp per quadrant
+        # via the spec predictor with earlier quadrants' best in place.
+        self.mb_type[curr] = 4
+        for q in range(4):
+            bx, by = (q & 1) * 8, (q >> 1) * 8
+            sb = src16[by : by + 8, bx : bx + 8]
+            ax, ay = x0 + bx, y0 + by
+            mvpx, mvpy = mvpred.predict_mv_luma(
+                self, curr, 4, 4, q, [0, 0, 0, 0])
+            pad = W + (4 if cfg.qpel else 0)
+            win = mc.fetch_window(self.ref_y, ax - pad, ay - pad,
+                                  8 + 2 * pad, 8 + 2 * pad)
+            cands = sliding_window_view(win, (8, 8))[
+                pad - W : pad + W + 1, pad - W : pad + W + 1
+            ]
+            sads = np.abs(cands.astype(np.int32) - sb).sum(axis=(2, 3))
+            sh = np.arange(-W, W + 1) * 4
+            mvcost = np.abs(sh[:, None] - mvpy) + np.abs(sh[None, :] - mvpx)
+            scores = sads + mvcost
+            iy, ix = np.unravel_index(np.argmin(scores), scores.shape)
+            mvx_i, mvy_i = (int(ix) - W) * 4, (int(iy) - W) * 4
+            best_score = float(scores[iy, ix])
+            best_mv = (mvx_i, mvy_i)
+            if cfg.qpel:
+                # quarter-pel refinement ±3/4 around the best integer vector
+                for dy in range(-3, 4):
+                    for dx in range(-3, 4):
+                        if dx == 0 and dy == 0:
+                            continue
+                        mvx, mvy = mvx_i + dx, mvy_i + dy
+                        pred = np.zeros((8, 8), np.int32)
+                        for sy in range(0, 8, 4):
+                            for sx in range(0, 8, 4):
+                                lx = ax + sx + (mvx >> 2) - 2
+                                ly = ay + sy + (mvy >> 2) - 2
+                                wblk = mc.fetch_window(self.ref_y, lx, ly, 9, 9)
+                                frac = (mvy & 3) * 4 + (mvx & 3)
+                                pred[sy : sy + 4, sx : sx + 4] = (
+                                    mc.interpolate_luma_block(wblk, frac)
+                                )
+                        score = float(
+                            np.abs(pred - sb).sum()
+                            + abs(mvx - mvpx) + abs(mvy - mvpy)
+                        )
+                        if score < best_score:
+                            best_score, best_mv = score, (mvx, mvy)
+            out[q] = best_mv
+            # make this quadrant's choice visible to the next predictor
+            mvpred.store_part_mvs(self, curr, 4, 4, out, q)
+        return out
+
+    def _write_inter_mb(self, w, curr, mb_type, num_parts, mvds, pred_l,
+                        pred_cb, pred_cr, luma_levels, cdc, cac, cbp_l,
+                        cbp_c) -> None:
+        write_ue(w, mb_type)
+        if mb_type in (3, 4):
+            for p in range(4):
+                write_ue(w, 0)  # sub_mb_type = P_L0_8x8 (both P_8x8 kinds)
+            for p in range(4):
+                write_se(w, int(mvds[p, 0]))
+                write_se(w, int(mvds[p, 1]))
+        else:
+            for p in range(num_parts):
+                write_se(w, int(mvds[p, 0]))
+                write_se(w, int(mvds[p, 1]))
+        write_ue(w, int(T.CBP_TO_CODENUM_INTER[(cbp_c << 4) | cbp_l]))
+        if cbp_l > 0 or cbp_c > 0:
+            write_se(w, 0)  # mb_qp_delta
+            self._residual_bits(curr, False, None, None, luma_levels, cdc,
+                                cac, cbp_l, cbp_c, writer=w)
+        else:
+            self.cbp_luma[curr] = cbp_l
+            self.cbp_chroma[curr] = cbp_c
+            self.tc_luma[curr] = 0
+            self.tc_chroma[:, curr] = 0
+        self._reconstruct_luma_4x4_levels(curr, pred_l, luma_levels)
+        self._reconstruct_chroma(curr, pred_cb, pred_cr, cdc, cac)
