@@ -57,7 +57,12 @@ _I4_GATE = {0: "top", 1: "left", 3: "top", 4: "corner", 5: "corner",
 
 
 class Encoder:
-    def __init__(self, width: int, height: int, cfg: EncoderConfig) -> None:
+    def __init__(self, width: int, height: int, cfg: EncoderConfig,
+                 tpu_pipeline=None) -> None:
+        """`tpu_pipeline`: optional TpuIntraPipeline. Whole-frame intra
+        mode pre-decision on device (the reference's GPU-offload analog,
+        rbsp_encoding.cpp:144 + intra.cpp:961-977); the exact bit-cost
+        arbitration and reconstruction still run per MB."""
         assert width % 16 == 0 and height % 16 == 0
         self.cfg = cfg
         self.w, self.h = width, height
@@ -86,6 +91,8 @@ class Encoder:
         self.i4x4_mode = np.zeros((self.nmb, 16), np.int32)
         self.mv = np.zeros((self.nmb, 4, 4, 2), np.int32)
         self.stats = []  # per-frame dicts (DohvatiStatistiku parity)
+        self.tpu_pipeline = tpu_pipeline
+        self._tpu_modes = None
 
     # ------------------------------------------------------------------
     # Session API (encode() / NastaviEncode() parity, fer_h264.cpp:81-134)
@@ -108,6 +115,12 @@ class Encoder:
         t0 = time.time()
         is_idr = self._select_nal_unit_type(y)
         self.curr_frame_count += 1
+        if is_idr and self.tpu_pipeline is not None:
+            out = self.tpu_pipeline(y.astype(np.int32))
+            m16, m4, _, _ = self.tpu_pipeline.modes_to_host(out)
+            self._tpu_modes = (m16, m4)
+        else:
+            self._tpu_modes = None
         # working frame: source, progressively overwritten by reconstruction
         self.y = y.astype(np.int32).copy()
         self.cb = cb.astype(np.int32).copy()
@@ -460,19 +473,23 @@ class Encoder:
 
         # --- Intra16x16 candidate ---
         p33 = self._fetch_p33(curr)
-        best16, min16 = None, None
-        for m in range(4):
-            gate = _I16_GATE.get(m)
-            if gate == "top" and p33[17] == -1:
-                continue
-            if gate == "left" and p33[1] == -1:
-                continue
-            if gate == "corner" and p33[0] == -1:
-                continue
-            pred = intra.predict_16x16(p33, m)
-            satd = int(self._satd(src_blocks, self._blocks_of(pred)).sum())
-            if min16 is None or satd < min16:
-                min16, best16 = satd, m
+        if self._tpu_modes is not None:
+            best16 = int(self._tpu_modes[0][curr])
+        else:
+            best16 = None
+            min16 = None
+            for m in range(4):
+                gate = _I16_GATE.get(m)
+                if gate == "top" and p33[17] == -1:
+                    continue
+                if gate == "left" and p33[1] == -1:
+                    continue
+                if gate == "corner" and p33[0] == -1:
+                    continue
+                pred = intra.predict_16x16(p33, m)
+                satd = int(self._satd(src_blocks, self._blocks_of(pred)).sum())
+                if min16 is None or satd < min16:
+                    min16, best16 = satd, m
         pred16 = intra.predict_16x16(p33, best16)
         chroma_mode = int(intra.INTRA16_TO_CHROMA_MODE[best16])
         pcb, pcr = self._fetch_p17(curr)
@@ -493,27 +510,30 @@ class Encoder:
         self.mb_type[curr] = 0
         self.mb_intra[curr] = True
         self.mb_i4x4[curr] = True
-        modes = np.zeros(16, np.int32)
-        for blk in range(16):
-            p13 = self._fetch_p13(curr, blk)
-            bx, by = int(_BLK_XY[blk, 0]), int(_BLK_XY[blk, 1])
-            sblk = src16[by : by + 4, bx : bx + 4]
-            best, minv = None, None
-            for m in range(9):
-                gate = _I4_GATE.get(m)
-                if gate == "top" and p13[5] == -1:
-                    continue
-                if gate == "left" and p13[1] == -1:
-                    continue
-                if gate == "corner" and p13[0] == -1:
-                    continue
-                pred = intra.predict_4x4(p13, m)
-                satd = int(self._satd(sblk, pred))
-                if minv is None or satd < minv:
-                    minv, best = satd, m
-                    if minv == 0:
-                        break
-            modes[blk] = best
+        if self._tpu_modes is not None:
+            modes = self._tpu_modes[1][curr].astype(np.int32)
+        else:
+            modes = np.zeros(16, np.int32)
+            for blk in range(16):
+                p13 = self._fetch_p13(curr, blk)
+                bx, by = int(_BLK_XY[blk, 0]), int(_BLK_XY[blk, 1])
+                sblk = src16[by : by + 4, bx : bx + 4]
+                best, minv = None, None
+                for m in range(9):
+                    gate = _I4_GATE.get(m)
+                    if gate == "top" and p13[5] == -1:
+                        continue
+                    if gate == "left" and p13[1] == -1:
+                        continue
+                    if gate == "corner" and p13[0] == -1:
+                        continue
+                    pred = intra.predict_4x4(p13, m)
+                    satd = int(self._satd(sblk, pred))
+                    if minv is None or satd < minv:
+                        minv, best = satd, m
+                        if minv == 0:
+                            break
+                modes[blk] = best
         self.i4x4_mode[curr] = modes
 
         # reconstruct 4x4 candidate in place (on reconstructed neighbors)

@@ -1,0 +1,190 @@
+"""TPU whole-frame intra pipeline (jitted JAX).
+
+The generalization of the reference's GPU offload (intra_kernels.cl:308-708:
+one work-item per MB / per 4x4 block, modes decided on the *source* frame as
+an accepted approximation, thesis-measured +0.18–1.01 % bitrate) — except we
+evaluate SATD at the *actual* QP instead of the reference's hardcoded qp=12
+(openCL_functions.cpp:238), which strictly improves its decisions.
+
+Everything here is batched over all MBs of a frame and jit-compiled once per
+frame geometry:
+  - Intra16x16: all 4 modes × all MBs, SATD argmin with availability gating
+  - Intra4x4:   all 9 modes × all 16 blocks × all MBs
+  - forward transform + quantization of the winning I16 predictions
+  - per-MB SATD totals for the 4x4-vs-16x16 pre-choice
+
+The host encoder (codec/encoder.py with `tpu_modes=True`... see
+TpuIntraEncoder) consumes the decided modes and runs the exact
+reconstruction + CAVLC. Device-side wavefront reconstruction and CAVLC
+packing are the next stage (SURVEY.md §7 stages 4-5).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import intra, transform
+
+
+def _mb_blocks(x):
+    """(..., 16, 16) MB images → (..., 16, 4, 4) 4x4 blocks in Z-scan order.
+
+    Z-scan: quadrant-major (Intra4x4ScanOrder, h264_globals.cpp:209-214).
+    """
+    *lead, H, W = x.shape
+    assert H == 16 and W == 16
+    # (..., qr, 2, 4, qc, 2, 4): quadrant row, sub row, y, quadrant col, ...
+    b = x.reshape(*lead, 2, 2, 4, 2, 2, 4)
+    # order: quadrant (qr, qc), then sub-block (sr, sc)
+    b = jnp.moveaxis(b, (-6, -3, -5, -2), (-6, -5, -4, -3))
+    return b.reshape(*lead, 16, 4, 4)
+
+
+def _satd_blocks(diff_blocks, qp: int):
+    """Σ|quantized transformed diff| per block (satdLuma4x4, intra.cpp:819)."""
+    d = transform.forward_transform_4x4(diff_blocks)
+    q = transform.quantize_residual(d, qp, False)
+    return jnp.abs(q).sum(axis=(-2, -1))
+
+
+@functools.partial(jax.jit, static_argnames=("wmb", "hmb", "qp"))
+def intra_mode_decision(y, wmb: int, hmb: int, qp: int, top_row=None):
+    """Whole-frame intra mode pre-decision on the source frame.
+
+    y: (H, W) int32 luma. `top_row`: optional (W,) int32 halo — the last
+    pixel row of the MB-row tile above (for sharded tiles; -1 entries mean
+    unavailable). Returns dict with per-MB i16 modes, per-block i4x4 modes,
+    and their SATD totals.
+    """
+    nmb = wmb * hmb
+    # pad with -1 (or the tile halo) on top, -1 on left/right
+    if top_row is None:
+        yp = jnp.pad(y, ((1, 0), (1, 4)), constant_values=-1)
+    else:
+        yp = jnp.concatenate([top_row[None, :], y], axis=0)
+        yp = jnp.pad(yp, ((0, 0), (1, 4)), constant_values=-1)
+
+    # MB source blocks: (nmb, 16, 16)
+    src = y.reshape(hmb, 16, wmb, 16).transpose(0, 2, 1, 3).reshape(nmb, 16, 16)
+
+    # --- Intra16x16 p33 for every MB ------------------------------------
+    r = jnp.arange(hmb) * 16  # MB pixel origins (unpadded)
+    c = jnp.arange(wmb) * 16
+    # padded coords: origin+0 is the (-1) row/col
+    corner = yp[r[:, None], c[None, :]]  # (hmb, wmb)
+    lefts = yp[r[:, None, None] + 1 + jnp.arange(16)[None, None, :], c[None, :, None]]
+    tops = yp[r[:, None, None], c[None, :, None] + 1 + jnp.arange(16)[None, None, :]]
+    p33 = jnp.concatenate(
+        [corner[..., None], lefts, tops], axis=-1
+    ).reshape(nmb, 33)
+
+    preds16 = intra.predict_16x16_all_modes(p33)  # (4, nmb, 16, 16)
+    diffs = _mb_blocks(src[None] - preds16)  # (4, nmb, 16, 4, 4)
+    satd16 = _satd_blocks(diffs, qp).sum(axis=-1)  # (4, nmb)
+
+    mbr = jnp.arange(nmb) // wmb
+    mbc = jnp.arange(nmb) % wmb
+    # availability from fetched samples (handles the tile halo uniformly)
+    top_ok = tops[..., 0].reshape(nmb) != -1
+    left_ok = lefts[..., 0].reshape(nmb) != -1
+    corner_ok = corner.reshape(nmb) != -1
+    BIG = jnp.int32(1 << 30)
+    gate16 = jnp.stack([
+        jnp.where(top_ok, 0, BIG),     # V
+        jnp.where(left_ok, 0, BIG),    # H
+        jnp.zeros(nmb, jnp.int32),     # DC
+        jnp.where(corner_ok, 0, BIG),  # Plane
+    ])
+    satd16g = satd16 + gate16
+    mode16 = jnp.argmin(satd16g, axis=0)  # (nmb,)
+    best16_satd = satd16g.min(axis=0)
+
+    # --- Intra4x4 p13 for every block of every MB ------------------------
+    # absolute block origins
+    from ..ops.tables import INTRA4X4_SCAN_ORDER_XY
+
+    bxy = jnp.asarray(INTRA4X4_SCAN_ORDER_XY)  # (16, 2) x, y
+    bx = (mbc[:, None] * 16 + bxy[None, :, 0])  # (nmb, 16)
+    by = (mbr[:, None] * 16 + bxy[None, :, 1])
+    # padded coords: pixel (x, y) lives at yp[y+1, x+1]
+    px, py = bx + 1, by + 1
+    corner4 = yp[py - 1, px - 1]
+    left4 = yp[py[..., None] + jnp.arange(4)[None, None, :], (px - 1)[..., None]]
+    top8 = yp[(py - 1)[..., None], px[..., None] + jnp.arange(8)[None, None, :]]
+    # above-right replication rule (intra.cpp:345-370): blocks 3, 11, or
+    # x0==12 with y0>0, or beyond the frame's right edge → replicate p[8]
+    W = wmb * 16
+    blk_ids = jnp.arange(16)
+    x0s = bxy[:, 0]
+    y0s = bxy[:, 1]
+    repl = (
+        (bx + 4 >= W)
+        | ((x0s == 12) & (y0s > 0))[None, :]
+        | ((blk_ids == 3) | (blk_ids == 11))[None, :]
+    )  # (nmb, 16)
+    last = top8[..., 3]
+    ar = jnp.where(repl[..., None], last[..., None], top8[..., 4:8])
+    top8 = jnp.concatenate([top8[..., :4], ar], axis=-1)
+    p13 = jnp.concatenate([corner4[..., None], left4, top8], axis=-1)  # (nmb,16,13)
+
+    preds4 = intra.predict_4x4_all_modes(p13)  # (9, nmb, 16, 4, 4)
+    src_blocks = _mb_blocks(src)  # (nmb, 16, 4, 4)
+    satd4 = _satd_blocks(src_blocks[None] - preds4, qp)  # (9, nmb, 16)
+
+    t_ok = top8[..., 0] != -1  # (nmb, 16)
+    l_ok = left4[..., 0] != -1
+    c_ok = corner4 != -1
+    Z = jnp.zeros_like(t_ok, dtype=jnp.int32)
+
+    def g(ok):
+        return jnp.where(ok, 0, BIG)
+
+    gate4 = jnp.stack([
+        g(t_ok), g(l_ok), Z, g(t_ok), g(c_ok), g(c_ok), g(c_ok), g(t_ok), g(l_ok)
+    ])
+    satd4g = satd4 + gate4
+    mode4 = jnp.argmin(satd4g, axis=0)  # (nmb, 16)
+    best4_satd = satd4g.min(axis=0).sum(axis=-1)  # (nmb,)
+
+    # winning I16 prediction + its quantized levels (DC path + AC)
+    pred16 = jnp.take_along_axis(
+        preds16, mode16[None, :, None, None], axis=0
+    )[0]  # (nmb, 16, 16)
+    diff16 = _mb_blocks(src - pred16)
+    d16 = transform.forward_transform_4x4(diff16)
+    q16 = transform.quantize_residual(d16, qp, True)
+
+    return {
+        "mode16": mode16,
+        "satd16": best16_satd,
+        "mode4": mode4,
+        "satd4": best4_satd,
+        "pred16": pred16,
+        "q16": q16,
+    }
+
+
+class TpuIntraPipeline:
+    """Session wrapper: jit-compiled per frame geometry, device-resident."""
+
+    def __init__(self, width: int, height: int, qp: int) -> None:
+        self.wmb, self.hmb, self.qp = width // 16, height // 16, qp
+
+    def __call__(self, y: np.ndarray):
+        out = intra_mode_decision(
+            jnp.asarray(y, jnp.int32), wmb=self.wmb, hmb=self.hmb, qp=self.qp
+        )
+        return out
+
+    def modes_to_host(self, out):
+        return (
+            np.asarray(out["mode16"]),
+            np.asarray(out["mode4"]),
+            np.asarray(out["satd16"]),
+            np.asarray(out["satd4"]),
+        )
