@@ -58,7 +58,7 @@ _I4_GATE = {0: "top", 1: "left", 3: "top", 4: "corner", 5: "corner",
 
 class Encoder:
     def __init__(self, width: int, height: int, cfg: EncoderConfig,
-                 tpu_pipeline=None) -> None:
+                 tpu_pipeline=None, tpu_me=None) -> None:
         """`tpu_pipeline`: optional TpuIntraPipeline. Whole-frame intra
         mode pre-decision on device (the reference's GPU-offload analog,
         rbsp_encoding.cpp:144 + intra.cpp:961-977); the exact bit-cost
@@ -93,6 +93,8 @@ class Encoder:
         self.stats = []  # per-frame dicts (DohvatiStatistiku parity)
         self.tpu_pipeline = tpu_pipeline
         self._tpu_modes = None
+        self.tpu_me = tpu_me
+        self._me_cands = None
 
     # ------------------------------------------------------------------
     # Session API (encode() / NastaviEncode() parity, fer_h264.cpp:81-134)
@@ -121,6 +123,11 @@ class Encoder:
             self._tpu_modes = (m16, m4)
         else:
             self._tpu_modes = None
+        if (not is_idr) and self.tpu_me is not None:
+            # whole-frame top-K integer candidates on device (ops/me.py)
+            self._me_cands = self.tpu_me(y.astype(np.int32), self.ref_y)
+        else:
+            self._me_cands = None
         # working frame: source, progressively overwritten by reconstruction
         self.y = y.astype(np.int32).copy()
         self.cb = cb.astype(np.int32).copy()
@@ -806,19 +813,29 @@ class Encoder:
             ax, ay = x0 + bx, y0 + by
             mvpx, mvpy = mvpred.predict_mv_luma(
                 self, curr, 4, 4, q, [0, 0, 0, 0])
-            pad = W + (4 if cfg.qpel else 0)
-            win = mc.fetch_window(self.ref_y, ax - pad, ay - pad,
-                                  8 + 2 * pad, 8 + 2 * pad)
-            cands = sliding_window_view(win, (8, 8))[
-                pad - W : pad + W + 1, pad - W : pad + W + 1
-            ]
-            sads = np.abs(cands.astype(np.int32) - sb).sum(axis=(2, 3))
-            sh = np.arange(-W, W + 1) * 4
-            mvcost = np.abs(sh[:, None] - mvpy) + np.abs(sh[None, :] - mvpx)
-            scores = sads + mvcost
-            iy, ix = np.unravel_index(np.argmin(scores), scores.shape)
-            mvx_i, mvy_i = (int(ix) - W) * 4, (int(iy) - W) * 4
-            best_score = float(scores[iy, ix])
+            if self._me_cands is None:
+                pad = W + (4 if cfg.qpel else 0)
+                win = mc.fetch_window(self.ref_y, ax - pad, ay - pad,
+                                      8 + 2 * pad, 8 + 2 * pad)
+            if self._me_cands is not None:
+                # device top-K candidates, reranked with the |mv-mvp| cost
+                sads_k, mvx_k, mvy_k = self._me_cands
+                bi = (ay // 8) * (self.w // 8) + (ax // 8)
+                sc = sads_k[bi] + np.abs(mvx_k[bi] - mvpx) + np.abs(mvy_k[bi] - mvpy)
+                j = int(np.argmin(sc))
+                mvx_i, mvy_i = int(mvx_k[bi, j]), int(mvy_k[bi, j])
+                best_score = float(sc[j])
+            else:
+                cands = sliding_window_view(win, (8, 8))[
+                    pad - W : pad + W + 1, pad - W : pad + W + 1
+                ]
+                sads = np.abs(cands.astype(np.int32) - sb).sum(axis=(2, 3))
+                sh = np.arange(-W, W + 1) * 4
+                mvcost = np.abs(sh[:, None] - mvpy) + np.abs(sh[None, :] - mvpx)
+                scores = sads + mvcost
+                iy, ix = np.unravel_index(np.argmin(scores), scores.shape)
+                mvx_i, mvy_i = (int(ix) - W) * 4, (int(iy) - W) * 4
+                best_score = float(scores[iy, ix])
             best_mv = (mvx_i, mvy_i)
             if cfg.qpel:
                 # quarter-pel refinement ±3/4 around the best integer vector
