@@ -110,7 +110,11 @@ MV_NA = None  # we use None sentinels instead of the reference's 0x80808080
 class Decoder:
     """Stateful session decoder mirroring the reference's global state."""
 
-    def __init__(self) -> None:
+    def __init__(self, deblock: bool = False) -> None:
+        """`deblock`: apply the in-loop filter when the stream signals it.
+        Default False = reference-decoder behavior (it has no filter), which
+        keeps bit-exactness with refdec on any stream it accepts."""
+        self.deblock = deblock
         self.sps: SPS | None = None
         self.pps: PPS | None = None
         self.mb_qp_delta = 0  # persistent across MBs/frames (reference quirk)
@@ -173,6 +177,15 @@ class Decoder:
         r = BitReader(u.rbsp)
         shd = SliceHeader.parse(r, self.sps, self.pps, u.nal_unit_type, u.nal_ref_idc)
         self.shd = shd
+        # Spec-correct mode for deblock-signaled slices we filter: such
+        # streams cannot come from the reference (it has no filter), so the
+        # stale-ChromaACLevel quirk must NOT apply (the producing encoder
+        # reconstructs with clean zero levels).
+        self._spec_mode = bool(
+            self.deblock
+            and self.pps.deblocking_filter_control_present_flag
+            and shd.disable_deblocking_filter_idc != 1
+        )
         slice_type = shd.slice_type
         qpy = shd.slice_qp_y(self.pps)
         self.qpy = qpy
@@ -194,6 +207,16 @@ class Decoder:
                 more_data = r.more_rbsp_data()
                 curr += 1
 
+        if (
+            self.deblock
+            and self.pps.deblocking_filter_control_present_flag
+            and shd.disable_deblocking_filter_idc != 1
+        ):
+            from .loopfilter import deblock_frame
+
+            self.nz_luma = self.tc_luma > 0
+            self.qpc = transform.chroma_qp(self.qpy, self.pps.chroma_qp_index_offset)
+            deblock_frame(self)
         # DPB update: single-frame deep copy (ref_frames.cpp:17-35,93-183)
         self.ref_y = self.y.copy()
         self.ref_cb = self.cb.copy()
@@ -301,9 +324,13 @@ class Decoder:
                 chroma_dc, self.stale_chroma_ac,
             )
         else:
-            # clear_residual_structures: chroma AC stays STALE (see _alloc)
+            # clear_residual_structures: chroma AC stays STALE (see _alloc) —
+            # except in spec mode (deblock-signaled streams), where absent
+            # residual means zero levels
             self.tc_luma[curr] = 0
             self.tc_chroma[:, curr] = 0
+            if self._spec_mode:
+                self.stale_chroma_ac[:] = 0
         chroma_ac = self.stale_chroma_ac
 
         self.qpy = (self.qpy + self.mb_qp_delta + 52) % 52

@@ -48,6 +48,8 @@ class EncoderConfig:
     lossy_prefilter: bool = True  # MAXDIFF source filtering (reference default)
     scene_cut_idr: bool = True  # SAD-threshold IDR selection
     qpel: bool = True  # quarter-pel ME refinement
+    deblock: bool = False  # in-loop deblocking filter (superset; the
+    # reference has none — its streams/output are unfiltered)
 
 
 # Availability gates for encoder mode trials (intra.cpp:983-989,1021-1031).
@@ -70,7 +72,8 @@ class Encoder:
         self.nmb = self.wmb * self.hmb
         self.sps = SPS(pic_width_in_mbs=self.wmb,
                        pic_height_in_map_units=self.hmb)
-        self.pps = PPS(pic_init_qp=14 + cfg.qp)
+        self.pps = PPS(pic_init_qp=14 + cfg.qp,
+                       deblocking_filter_control_present_flag=1 if cfg.deblock else 0)
         self.qpy = cfg.qp
         self.qpc = transform.chroma_qp(self.qpy, self.pps.chroma_qp_index_offset)
         # session state (reference globals)
@@ -90,6 +93,7 @@ class Encoder:
         self.cbp_chroma = np.zeros(self.nmb, np.int32)
         self.i4x4_mode = np.zeros((self.nmb, 16), np.int32)
         self.mv = np.zeros((self.nmb, 4, 4, 2), np.int32)
+        self.nz_luma = np.zeros((self.nmb, 16), bool)
         self.stats = []  # per-frame dicts (DohvatiStatistiku parity)
         self.tpu_pipeline = tpu_pipeline
         self._tpu_modes = None
@@ -197,13 +201,22 @@ class Encoder:
             idr_pic_id=self.idr_pic_id,
             pic_order_cnt_lsb=self.poc_lsb & ((1 << self.sps.log2_max_pic_order_cnt_lsb) - 1),
             slice_qp_delta=-14,
+            disable_deblocking_filter_idc=0 if self.cfg.deblock else 1,
         )
         w = BitWriter()
         nal_type = nal_mod.NAL_IDR if is_idr else nal_mod.NAL_NOT_IDR
         shd.write(w, self.sps, self.pps, nal_type, 1)
 
         self.slice_type = slice_type
+        # Snapshot of prior-frame MB state: needed to emulate the decoder's
+        # trailing-skip drop (see below).
+        prev_state = (
+            self.mb_type.copy(), self.mb_intra.copy(), self.mb_i4x4.copy(),
+            self.mv.copy(), self.tc_luma.copy(), self.tc_chroma.copy(),
+            self.cbp_luma.copy(), self.cbp_chroma.copy(), self.nz_luma.copy(),
+        )
         mb_skip_run = 0
+        pos_after_last_coded = 0
         for curr in range(self.nmb):
             if slice_type == P_SLICE:
                 res = self._inter_encode_mb(curr)
@@ -213,12 +226,50 @@ class Encoder:
                 write_ue(w, mb_skip_run)
                 mb_skip_run = 0
                 self._write_inter_mb(w, curr, *res)
+                pos_after_last_coded = w.bit_position
             else:
                 self._intra_encode_mb(w, curr)
+                pos_after_last_coded = w.bit_position
         if mb_skip_run > 0:
             write_ue(w, mb_skip_run)
         w.rbsp_trailing_bits()
-        return w.getvalue()
+        rbsp = w.getvalue()
+        if mb_skip_run > 0 and pos_after_last_coded > 0:
+            # The reference decoder's more_rbsp_data is a byte-count
+            # approximation (rbsp_IO.cpp:193): when everything after the
+            # last coded MB fits in the final RBSP byte, the trailing skip
+            # run is never read and those MBs keep their previous-frame
+            # pixels and MB state. Mirror that in our reconstruction so the
+            # encoder loop matches what every decoder of this stream does.
+            if pos_after_last_coded // 8 >= len(rbsp) - 1:
+                self._drop_tail_skips(
+                    range(self.nmb - mb_skip_run, self.nmb), prev_state)
+        if self.cfg.deblock:
+            # in-loop filter: applied after full-frame reconstruction, before
+            # the DPB copy (norm 8.7; intra prediction above used unfiltered
+            # samples as required)
+            from .loopfilter import deblock_frame
+
+            deblock_frame(self)
+        return rbsp
+
+    def _drop_tail_skips(self, mbs, prev_state) -> None:
+        (p_type, p_intra, p_i4, p_mv, p_tcl, p_tcc, p_cl, p_cc, p_nz) = prev_state
+        for mb in mbs:
+            x0, y0 = (mb % self.wmb) * 16, (mb // self.wmb) * 16
+            self.y[y0 : y0 + 16, x0 : x0 + 16] = self.ref_y[y0 : y0 + 16, x0 : x0 + 16]
+            cx0, cy0 = x0 // 2, y0 // 2
+            self.cb[cy0 : cy0 + 8, cx0 : cx0 + 8] = self.ref_cb[cy0 : cy0 + 8, cx0 : cx0 + 8]
+            self.cr[cy0 : cy0 + 8, cx0 : cx0 + 8] = self.ref_cr[cy0 : cy0 + 8, cx0 : cx0 + 8]
+            self.mb_type[mb] = p_type[mb]
+            self.mb_intra[mb] = p_intra[mb]
+            self.mb_i4x4[mb] = p_i4[mb]
+            self.mv[mb] = p_mv[mb]
+            self.tc_luma[mb] = p_tcl[mb]
+            self.tc_chroma[:, mb] = p_tcc[:, mb]
+            self.cbp_luma[mb] = p_cl[mb]
+            self.cbp_chroma[mb] = p_cc[mb]
+            self.nz_luma[mb] = p_nz[mb]
 
     # ------------------------------------------------------------------
     # nC with encoder-side CBP gating (residual.cpp:87-106 allNeighbouringZero)
@@ -679,6 +730,7 @@ class Encoder:
             else:
                 self.cbp_luma[curr] = cbp_l
                 self.cbp_chroma[curr] = cbp_c
+            self.nz_luma[curr] = luma_levels.any(axis=1)
             self._reconstruct_chroma(curr, pred_cb, pred_cr, cdc, cac)
         else:
             cbp_l, cbp_c = self._cbp_from_levels(True, i16ac, cdc, cac)
@@ -692,6 +744,7 @@ class Encoder:
             write_se(w, 0)  # mb_qp_delta (always present for I16x16)
             self._residual_bits(curr, True, i16dc, i16ac, None, cdc, cac,
                                 cbp_l, cbp_c, writer=w)
+            self.nz_luma[curr] = i16ac.any(axis=1) | i16dc.any()
             self._reconstruct_luma_i16(curr, pred16, i16dc, i16ac)
             self._reconstruct_chroma(curr, pred_cb, pred_cr, cdc, cac)
 
@@ -727,6 +780,7 @@ class Encoder:
             # skip: reconstruction = prediction (transformDecodingP_Skip)
             self.tc_luma[curr] = 0
             self.tc_chroma[:, curr] = 0
+            self.nz_luma[curr] = False
             self.y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(pred_l, 0, 255)
             cx0, cy0 = x0 // 2, y0 // 2
             self.cb[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(pred_cb, 0, 255)
@@ -889,5 +943,6 @@ class Encoder:
             self.cbp_chroma[curr] = cbp_c
             self.tc_luma[curr] = 0
             self.tc_chroma[:, curr] = 0
+        self.nz_luma[curr] = luma_levels.any(axis=1)
         self._reconstruct_luma_4x4_levels(curr, pred_l, luma_levels)
         self._reconstruct_chroma(curr, pred_cb, pred_cr, cdc, cac)
