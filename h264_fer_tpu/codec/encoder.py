@@ -132,6 +132,13 @@ class Encoder:
             self._me_cands = self.tpu_me(y.astype(np.int32), self.ref_y)
         else:
             self._me_cands = None
+        if not is_idr:
+            # 16-phase interpolated reference planes for qpel search
+            # (FillInterpolatedRefFrame analog, moestimation.cpp:74-173)
+            from ..ops.interp import interpolated_planes
+
+            self._interp_ext = self.cfg.window_size // 2 + 2
+            self._interp = interpolated_planes(self.ref_y, ext=self._interp_ext)
         # working frame: source, progressively overwritten by reconstruction
         self.y = y.astype(np.int32).copy()
         self.cb = cb.astype(np.int32).copy()
@@ -893,21 +900,18 @@ class Encoder:
             best_mv = (mvx_i, mvy_i)
             if cfg.qpel:
                 # quarter-pel refinement ±3/4 around the best integer vector
+                # using the precomputed 16-phase planes (bit-identical to
+                # per-window interpolation; ops/interp.py)
+                ext = self._interp_ext
                 for dy in range(-3, 4):
                     for dx in range(-3, 4):
                         if dx == 0 and dy == 0:
                             continue
                         mvx, mvy = mvx_i + dx, mvy_i + dy
-                        pred = np.zeros((8, 8), np.int32)
-                        for sy in range(0, 8, 4):
-                            for sx in range(0, 8, 4):
-                                lx = ax + sx + (mvx >> 2) - 2
-                                ly = ay + sy + (mvy >> 2) - 2
-                                wblk = mc.fetch_window(self.ref_y, lx, ly, 9, 9)
-                                frac = (mvy & 3) * 4 + (mvx & 3)
-                                pred[sy : sy + 4, sx : sx + 4] = (
-                                    mc.interpolate_luma_block(wblk, frac)
-                                )
+                        frac = (mvy & 3) * 4 + (mvx & 3)
+                        px = ax + (mvx >> 2) + ext
+                        py = ay + (mvy >> 2) + ext
+                        pred = self._interp[frac][py : py + 8, px : px + 8]
                         score = float(
                             np.abs(pred - sb).sum()
                             + abs(mvx - mvpx) + abs(mvy - mvpy)

@@ -1,0 +1,104 @@
+"""16-phase interpolated reference planes (encoder-side).
+
+Vectorized equivalent of the reference's FillInterpolatedRefFrame
+(moestimation.cpp:74-173, via FillInterpolSubMBPart mocomp.cpp:80-107):
+one plane per fractional position frac = fy*4+fx, each covering an
+edge-extended grid so any MV within ±ext full-pel stays in bounds —
+the counterpart of the per-window edge clamping (mocomp.cpp:11-36).
+
+Values are bit-identical to mc.interpolate_luma_block for every position
+and frac, including the reference's clipped-intermediate chaining for the
+center positions (Tap6 over already-Bordered half-pel values).
+
+This is NumPy (host encoder); the TPU path runs the same shifted-array
+arithmetic under jit (it is pure elementwise/shift work — VPU food).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _tap6_h(p):
+    """Horizontal 6-tap at (x + 1/2): input padded by >=3 on each side of
+    axis 1; output width = in_width - 5."""
+    return np.clip(
+        (p[:, 0:-5] - 5 * p[:, 1:-4] + 20 * p[:, 2:-3] + 20 * p[:, 3:-2]
+         - 5 * p[:, 4:-1] + p[:, 5:] + 16) >> 5,
+        0, 255,
+    )
+
+
+def _tap6_v(p):
+    return np.clip(
+        (p[0:-5] - 5 * p[1:-4] + 20 * p[2:-3] + 20 * p[3:-2]
+         - 5 * p[4:-1] + p[5:] + 16) >> 5,
+        0, 255,
+    )
+
+
+def _avg(a, b):
+    return (a + b + 1) >> 1
+
+
+def interpolated_planes(ref: np.ndarray, ext: int = 0) -> np.ndarray:
+    """(16, H + 2*ext, W + 2*ext) int32 planes; plane[frac][ext + y][ext + x]
+    is the prediction sample for integer position (x, y) at that frac."""
+    H, W = ref.shape
+    # generous pad: ext for MV range + 3 taps each side + 1 for x+1/y+1 avgs
+    pad = ext + 4
+    P = np.pad(ref.astype(np.int32), pad, mode="edge")
+    he, we = H + 2 * ext, W + 2 * ext
+
+    def full(x0, y0, h=he, w=we):
+        """View of the integer plane starting at extended-grid offset."""
+        return P[pad - ext + y0 : pad - ext + y0 + h,
+                 pad - ext + x0 : pad - ext + x0 + w]
+
+    # b: horizontal half-pel at (x+1/2, y) for extended x in [-1, we]
+    # need columns x-2..x+3 → slice with margin
+    bm = _tap6_h(P[pad - ext : pad - ext + he,
+                   pad - ext - 2 : pad - ext + we + 3])  # (he, we)
+    # h: vertical half-pel
+    hm = _tap6_v(P[pad - ext - 2 : pad - ext + he + 3,
+                   pad - ext : pad - ext + we])  # (he, we)
+    # m = h at x+1; s = b at y+1 — need shifted variants: recompute with
+    # extended ranges instead of slicing beyond edges
+    bm_wide = _tap6_h(P[pad - ext - 1 : pad - ext + he + 1,
+                        pad - ext - 2 : pad - ext + we + 3])  # rows [-1, he]
+    hm_wide = _tap6_v(P[pad - ext - 2 : pad - ext + he + 3,
+                        pad - ext - 1 : pad - ext + we + 1])  # cols [-1, we]
+    s = bm_wide[2:, :]  # b at y+1 → wait: bm_wide rows start at y=-1
+    # bm_wide row 0 is y=-1, row 1 is y=0 ... so y+1 = rows 2..
+    s = bm_wide[2 : 2 + he, :]
+    m = hm_wide[:, 2 : 2 + we]
+    # j: horizontal 6-tap over the clipped vertical halves (reference chains
+    # Bordered intermediates, mocomp.cpp:66-71)
+    hm_j = _tap6_v(P[pad - ext - 2 : pad - ext + he + 3,
+                     pad - ext - 2 : pad - ext + we + 3])  # cols [-2, we+2]
+    j = _tap6_h(np.pad(hm_j, ((0, 0), (0, 0)), mode="edge"))[:, : we]
+    # hm_j has we+5 columns starting at x=-2; _tap6_h consumes 5 → we columns
+    # starting at x=0 ✓
+
+    G = full(0, 0)
+    Gx1 = full(1, 0)
+    Gy1 = full(0, 1)
+
+    planes = np.empty((16, he, we), np.int32)
+    planes[0] = G
+    planes[1] = _avg(G, bm)
+    planes[2] = bm
+    planes[3] = _avg(bm, Gx1)
+    planes[4] = _avg(G, hm)
+    planes[8] = hm
+    planes[12] = _avg(hm, Gy1)
+    planes[5] = _avg(bm, hm)
+    planes[7] = _avg(bm, m)
+    planes[13] = _avg(hm, s)
+    planes[15] = _avg(s, m)
+    planes[10] = j
+    planes[6] = _avg(bm, j)
+    planes[9] = _avg(hm, j)
+    planes[14] = _avg(j, s)
+    planes[11] = _avg(j, m)
+    return planes
