@@ -135,10 +135,13 @@ class Encoder:
         if not is_idr:
             # 16-phase interpolated reference planes for qpel search
             # (FillInterpolatedRefFrame analog, moestimation.cpp:74-173)
-            from ..ops.interp import interpolated_planes
+            from ..ops.interp import interpolated_planes, pad_chroma
 
             self._interp_ext = self.cfg.window_size // 2 + 2
             self._interp = interpolated_planes(self.ref_y, ext=self._interp_ext)
+            self._interp_extc = self._interp_ext // 2 + 1
+            self._interp_cb = pad_chroma(self.ref_cb, self._interp_extc)
+            self._interp_cr = pad_chroma(self.ref_cr, self._interp_extc)
         # working frame: source, progressively overwritten by reconstruction
         self.y = y.astype(np.int32).copy()
         self.cb = cb.astype(np.int32).copy()
@@ -774,10 +777,7 @@ class Encoder:
         skip_mv = mvpred.derive_skip_mv(self, curr)
         self.mv[curr, :, :, 0] = skip_mv[0]
         self.mv[curr, :, :, 1] = skip_mv[1]
-        pred_l, pred_cb, pred_cr = mc.mc_macroblock(
-            self.ref_y, self.ref_cb, self.ref_cr,
-            curr % self.wmb, curr // self.wmb, self.mv[curr],
-        )
+        pred_l, pred_cb, pred_cr = self._mc_mb(curr)
         if cfg.maxdiff == -1:
             mean = int(src16.sum()) // 256
             maxdiff = max(3, int(np.abs(src16 - mean).sum()) // 256)
@@ -825,10 +825,7 @@ class Encoder:
         mvpred.store_part_mvs(self, curr, mb_type, num_parts, final, num_parts - 1)
         mvpred.fan_out(self, curr)
 
-        pred_l, pred_cb, pred_cr = mc.mc_macroblock(
-            self.ref_y, self.ref_cb, self.ref_cr,
-            curr % self.wmb, curr // self.wmb, self.mv[curr],
-        )
+        pred_l, pred_cb, pred_cr = self._mc_mb(curr)
 
         # optional lossy MAXDIFF prefilter (moestimation.cpp:570-584)
         if cfg.lossy_prefilter:
@@ -848,6 +845,24 @@ class Encoder:
         cbp_l, cbp_c = self._cbp_from_levels(False, luma_levels, cdc, cac)
         return (mb_type, num_parts, mvds, pred_l, pred_cb, pred_cr,
                 luma_levels, cdc, cac, cbp_l, cbp_c)
+
+    def _mc_mb(self, curr):
+        """Whole-MB MC via the precomputed planes when the MVs are in
+        range, else the per-window path (bit-identical either way)."""
+        mv = self.mv[curr]
+        lim = self._interp_ext * 4 - 4
+        if np.abs(mv).max() <= lim:
+            from ..ops.interp import mc_macroblock_from_planes
+
+            return mc_macroblock_from_planes(
+                self._interp, self._interp_cb, self._interp_cr,
+                curr % self.wmb, curr // self.wmb, mv,
+                self._interp_ext, self._interp_extc,
+            )
+        return mc.mc_macroblock(
+            self.ref_y, self.ref_cb, self.ref_cr,
+            curr % self.wmb, curr // self.wmb, mv,
+        )
 
     def _search_mb(self, curr, src16, maxdiff) -> np.ndarray:
         """Full-search SAD per 8x8 block over ±window/2 integer positions,

@@ -102,3 +102,43 @@ def interpolated_planes(ref: np.ndarray, ext: int = 0) -> np.ndarray:
     planes[14] = _avg(j, s)
     planes[11] = _avg(j, m)
     return planes
+
+
+def pad_chroma(ref_c: np.ndarray, ext_c: int) -> np.ndarray:
+    """Edge-padded chroma plane for plane-based MC slicing."""
+    return np.pad(ref_c.astype(np.int32), ext_c + 1, mode="edge")
+
+
+def mc_macroblock_from_planes(planes, cb_pad, cr_pad, mb_x, mb_y, mv,
+                              ext: int, ext_c: int):
+    """Whole-MB MC using precomputed planes — bit-identical to
+    mc.mc_macroblock (encoder-side fast path).
+
+    planes: interpolated_planes(ref_y, ext); cb_pad/cr_pad: pad_chroma(...,
+    ext_c) with ext_c >= ext//2. mv: (4, 4, 2) quadrant-major qpel MVs
+    (uniform within each quadrant after DeriveMVs fan-out).
+    """
+    pred_l = np.empty((16, 16), np.int32)
+    pred_cb = np.empty((8, 8), np.int32)
+    pred_cr = np.empty((8, 8), np.int32)
+    x0, y0 = mb_x * 16, mb_y * 16
+    for q in range(4):
+        ox, oy = (q & 1) * 8, (q >> 1) * 8
+        mvx, mvy = int(mv[q, 0, 0]), int(mv[q, 0, 1])
+        frac = (mvy & 3) * 4 + (mvx & 3)
+        px = x0 + ox + (mvx >> 2) + ext
+        py = y0 + oy + (mvy >> 2) + ext
+        pred_l[oy : oy + 8, ox : ox + 8] = planes[frac][py : py + 8, px : px + 8]
+        cx = (x0 + ox) // 2 + (mvx >> 3) + ext_c + 1
+        cy = (y0 + oy) // 2 + (mvy >> 3) + ext_c + 1
+        fx, fy = mvx & 7, mvy & 7
+        for cplane, out in ((cb_pad, pred_cb), (cr_pad, pred_cr)):
+            a = cplane[cy : cy + 4, cx : cx + 4]
+            b = cplane[cy : cy + 4, cx + 1 : cx + 5]
+            c = cplane[cy + 1 : cy + 5, cx : cx + 4]
+            d = cplane[cy + 1 : cy + 5, cx + 1 : cx + 5]
+            out[oy // 2 : oy // 2 + 4, ox // 2 : ox // 2 + 4] = (
+                (8 - fx) * (8 - fy) * a + fx * (8 - fy) * b
+                + (8 - fx) * fy * c + fx * fy * d + 32
+            ) >> 6
+    return pred_l, pred_cb, pred_cr
