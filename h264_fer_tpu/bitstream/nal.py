@@ -44,7 +44,18 @@ def remove_emulation_prevention(ebsp: bytes) -> bytes:
 
 
 def insert_emulation_prevention(rbsp: bytes) -> bytes:
-    """Insert 0x03 before {00,01,02,03} following two zeros (nal.cpp:272-295)."""
+    """Insert 0x03 before {00,01,02,03} following two zeros (nal.cpp:272-295).
+
+    Uses the native extension when available (bit-identical; fuzz-tested).
+    """
+    try:
+        from ..native import insert_epb_native
+
+        out_n = insert_epb_native(rbsp)
+        if out_n is not None:
+            return out_n
+    except Exception:
+        pass
     out = bytearray()
     zeros = 0
     for b in rbsp:

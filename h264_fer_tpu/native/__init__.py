@@ -1,0 +1,122 @@
+"""Native host-runtime extension (C++, ctypes-loaded).
+
+Compiled on first import with g++ into a cached shared object; every
+function has a pure-Python fallback (ops/cavlc.py, bitstream/), and tests
+assert bit-identical behavior. Set H264_TPU_NO_NATIVE=1 to disable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+
+import numpy as np
+
+_HERE = pathlib.Path(__file__).parent
+_SRC = _HERE / "cavlc_native.cpp"
+_SO = _HERE / "_cavlc_native.so"
+
+_lib = None
+
+
+def _build() -> None:
+    subprocess.run(
+        ["g++", "-O3", "-shared", "-fPIC", "-o", str(_SO), str(_SRC)],
+        check=True,
+        capture_output=True,
+    )
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None if disabled or
+    the toolchain is unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if os.environ.get("H264_TPU_NO_NATIVE"):
+        return None
+    try:
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            _build()
+        lib = ctypes.CDLL(str(_SO))
+    except (OSError, subprocess.CalledProcessError):
+        return None
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.bitpack.restype = ctypes.c_long
+    lib.bitpack.argtypes = [u32p, u8p, ctypes.c_long, u8p]
+    lib.insert_epb.restype = ctypes.c_long
+    lib.insert_epb.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, u8p,
+    ]
+    lib.cavlc_block_symbols.restype = ctypes.c_int
+    lib.cavlc_block_symbols.argtypes = [
+        i32p, ctypes.c_int, ctypes.c_int,
+        i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
+        u32p, u8p, ctypes.POINTER(ctypes.c_int),
+    ]
+    _lib = lib
+    return lib
+
+
+# flattened, C-contiguous table copies for the native calls
+_tables = None
+
+
+def _get_tables():
+    global _tables
+    if _tables is None:
+        from ..ops import cavlc_tables as T
+
+        _tables = tuple(
+            np.ascontiguousarray(a.reshape(-1), dtype=np.int32)
+            for a in (
+                T.COEFF_TOKEN_LEN, T.COEFF_TOKEN_BITS,
+                T.TOTAL_ZEROS_LEN, T.TOTAL_ZEROS_BITS,
+                T.TOTAL_ZEROS_CDC_LEN, T.TOTAL_ZEROS_CDC_BITS,
+                T.RUN_BEFORE_LEN, T.RUN_BEFORE_BITS,
+            )
+        )
+    return _tables
+
+
+def block_symbols_native(levels, nc: int, max_num_coeff: int):
+    """Native ops/cavlc.block_symbols: returns (symbols list, total_coeff)
+    or None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    lv = np.ascontiguousarray(levels, dtype=np.int32)
+    vals = np.empty(80, np.uint32)
+    lens = np.empty(80, np.uint8)
+    tc = ctypes.c_int(0)
+    n = lib.cavlc_block_symbols(
+        lv, max_num_coeff, nc, *_get_tables(), vals, lens, ctypes.byref(tc)
+    )
+    return (
+        [(int(vals[i]), int(lens[i])) for i in range(n)],
+        int(tc.value),
+    )
+
+
+def bitpack_native(vals: np.ndarray, lens: np.ndarray) -> tuple[bytes, int]:
+    """Pack (values, lengths) MSB-first. Returns (bytes, total_bits)."""
+    lib = get_lib()
+    assert lib is not None
+    vals = np.ascontiguousarray(vals, dtype=np.uint32)
+    lens = np.ascontiguousarray(lens, dtype=np.uint8)
+    out = np.empty(int(lens.sum()) // 8 + 8, np.uint8)
+    bits = lib.bitpack(vals, lens, len(vals), out)
+    return out[: (bits + 7) // 8].tobytes(), int(bits)
+
+
+def insert_epb_native(rbsp: bytes) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(len(rbsp) + len(rbsp) // 2 + 8, np.uint8)
+    n = lib.insert_epb(rbsp, len(rbsp), out)
+    return out[:n].tobytes()
