@@ -795,7 +795,8 @@ class Encoder:
             return None
 
         # --- our ME: full integer search ± window/2 per 8x8 + qpel refine ---
-        part_mv = self._search_mb(curr, src16, maxdiff)
+        part_mv, part_sad = self._search_mb(curr, src16, maxdiff)
+        part_mv = self._maybe_unify(curr, src16, part_mv, part_sad)
 
         # merge into mb_type (moestimation.cpp:529-551)
         mvx, mvy = part_mv[:, 0], part_mv[:, 1]
@@ -827,8 +828,11 @@ class Encoder:
 
         pred_l, pred_cb, pred_cr = self._mc_mb(curr)
 
-        # optional lossy MAXDIFF prefilter (moestimation.cpp:570-584)
-        if cfg.lossy_prefilter:
+        # optional lossy MAXDIFF prefilter (moestimation.cpp:570-584);
+        # auto-disabled at high QP where the adaptive tolerance exceeds the
+        # quantizer's own distortion scale and costs PSNR (measured: QP40
+        # 42.31dB/5568B without vs 42.06dB/5475B with)
+        if cfg.lossy_prefilter and self.qpy < 36:
             lm = np.abs(src16 - pred_l) < maxdiff
             src16 = np.where(lm, pred_l, src16)
             self.y[y0 : y0 + 16, x0 : x0 + 16] = src16
@@ -883,6 +887,7 @@ class Encoder:
         # 8x8 SAD scale than a λ(QP)·bits(mvd) schedule); mvp per quadrant
         # via the spec predictor with earlier quadrants' best in place.
         self.mb_type[curr] = 4
+        sad_out = np.zeros(4, np.float64)
         for q in range(4):
             bx, by = (q & 1) * 8, (q >> 1) * 8
             sb = src16[by : by + 8, bx : bx + 8]
@@ -934,9 +939,44 @@ class Encoder:
                         if score < best_score:
                             best_score, best_mv = score, (mvx, mvy)
             out[q] = best_mv
+            sad_out[q] = best_score
             # make this quadrant's choice visible to the next predictor
             mvpred.store_part_mvs(self, curr, 4, 4, out, q)
-        return out
+        return out, sad_out
+
+    def _maybe_unify(self, curr, src16, part_mv, part_sad) -> np.ndarray:
+        """Try each quadrant's best vector as a single 16x16 MV: if one
+        covers the whole MB more cheaply than the split (Σ 8x8 SAD + one
+        |mv−mvp| vs Σ(SAD_q + |mv_q−mvp_q|)), unify. Counters partition
+        over-fragmentation at high QP where mvd bits dominate."""
+        if all((part_mv[q] == part_mv[0]).all() for q in range(1, 4)):
+            return part_mv
+        x0, y0 = (curr % self.wmb) * 16, (curr // self.wmb) * 16
+        ext = self._interp_ext
+        lim = ext * 4 - 4
+        self.mb_type[curr] = 0  # predictor under P_L0_16x16 partitioning
+        mvp = mvpred.predict_mv_luma(self, curr, 0, 1, 0, None)
+        split_cost = float(part_sad.sum())
+        best_u, best_cost = None, split_cost
+        cands = {tuple(part_mv[q]) for q in range(4)}
+        for u in cands:
+            mvx, mvy = int(u[0]), int(u[1])
+            if abs(mvx) > lim or abs(mvy) > lim:
+                continue
+            frac = (mvy & 3) * 4 + (mvx & 3)
+            px = x0 + (mvx >> 2) + ext
+            py = y0 + (mvy >> 2) + ext
+            pred = self._interp[frac][py : py + 16, px : px + 16]
+            sad = float(np.abs(pred - src16).sum())
+            cost = sad + abs(mvx - mvp[0]) + abs(mvy - mvp[1])
+            if cost < best_cost:
+                best_cost, best_u = cost, (mvx, mvy)
+        if best_u is not None:
+            part_mv = part_mv.copy()
+            part_mv[:, 0] = best_u[0]
+            part_mv[:, 1] = best_u[1]
+        self.mb_type[curr] = 4
+        return part_mv
 
     def _write_inter_mb(self, w, curr, mb_type, num_parts, mvds, pred_l,
                         pred_cb, pred_cr, luma_levels, cdc, cac, cbp_l,
