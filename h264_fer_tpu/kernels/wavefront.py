@@ -1,0 +1,124 @@
+"""Exact intra reconstruction as an anti-diagonal wavefront on device.
+
+The spec's loop-carried dependency (intra prediction reads *reconstructed*
+left/top neighbors, SURVEY.md §7 "hard parts") allows min(hmb, wmb)-way
+parallelism along MB anti-diagonals. This module implements the
+Intra_16x16 luma wavefront: a `lax.fori_loop` over diagonals; each step
+batch-processes one diagonal's MBs (predict → forward quant → dequant →
+reconstruct) with gather/scatter on an (hmb, wmb, 16, 16) MB-grid layout —
+no dynamic slices, pure indexed gathers, fully jittable.
+
+This replaces the host's sequential reconstruction for I16-coded MBs; the
+Intra_4x4 wavefront (16-sub-block dependency) and chroma follow the same
+scheme (round 2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import intra, transform
+
+
+@functools.partial(jax.jit, static_argnames=("wmb", "hmb", "qp"))
+def wavefront_i16_luma(y_src, modes, wmb: int, hmb: int, qp: int):
+    """Reconstruct a frame where every MB is Intra_16x16 luma.
+
+    y_src: (H, W) int32 source; modes: (nmb,) int32 I16 modes (caller
+    guarantees availability-valid modes, e.g. from intra_mode_decision).
+    Returns (recon (H, W) int32, i16dc (nmb, 16), ac (nmb, 16, 15)).
+    """
+    nmb = wmb * hmb
+    ndiag = hmb + wmb - 1
+    dmax = min(hmb, wmb)
+
+    src_grid = (
+        y_src.reshape(hmb, 16, wmb, 16).transpose(0, 2, 1, 3)
+    )  # (hmb, wmb, 16, 16)
+    modes_grid = modes.reshape(hmb, wmb)
+
+    # Z-scan block geometry for the DC/AC paths
+    from ..ops.tables import INTRA4X4_SCAN_ORDER_XY
+
+    bxy = INTRA4X4_SCAN_ORDER_XY  # (16, 2) x, y
+
+    def mb_blocks(mb):  # (..., 16, 16) -> (..., 16, 4, 4) Z-scan
+        b = mb.reshape(*mb.shape[:-2], 2, 2, 4, 2, 2, 4)
+        b = jnp.moveaxis(b, (-6, -3, -5, -2), (-6, -5, -4, -3))
+        return b.reshape(*mb.shape[:-2], 16, 4, 4)
+
+    def blocks_mb(blocks):  # inverse of mb_blocks
+        b = blocks.reshape(*blocks.shape[:-3], 2, 2, 2, 2, 4, 4)
+        b = jnp.moveaxis(b, (-6, -5, -4, -3), (-6, -3, -5, -2))
+        return b.reshape(*blocks.shape[:-3], 16, 16)
+
+    slot = jnp.arange(dmax)
+
+    def step(d, carry):
+        recon, dc_out, ac_out = carry
+        rs = slot
+        cs = d - slot
+        valid = (rs < hmb) & (cs >= 0) & (cs < wmb)
+        # invalid slots gather from (0,0) but SCATTER to the scratch row hmb
+        rc = jnp.where(valid, rs, 0)
+        cc = jnp.where(valid, cs, 0)
+        rw = jnp.where(valid, rs, hmb)  # scratch row for invalid writes
+
+        # neighbors from the reconstructed grid (−1 when unavailable)
+        left_ok = (cc > 0) & valid
+        top_ok = (rc > 0) & valid
+        corner_ok = left_ok & top_ok
+        lcol = recon[rc, jnp.maximum(cc - 1, 0), :, 15]  # (dmax, 16)
+        trow = recon[jnp.maximum(rc - 1, 0), cc, 15, :]
+        corner = recon[jnp.maximum(rc - 1, 0), jnp.maximum(cc - 1, 0), 15, 15]
+        lcol = jnp.where(left_ok[:, None], lcol, -1)
+        trow = jnp.where(top_ok[:, None], trow, -1)
+        corner = jnp.where(corner_ok, corner, -1)
+        p33 = jnp.concatenate([corner[:, None], lcol, trow], axis=-1)
+
+        m = modes_grid[rc, cc]  # (dmax,)
+        preds = intra.predict_16x16_all_modes(p33)  # (4, dmax, 16, 16)
+        pred = jnp.take_along_axis(preds, m[None, :, None, None], axis=0)[0]
+
+        srcs = src_grid[rc, cc]  # (dmax, 16, 16)
+        diff = mb_blocks(srcs - pred)  # (dmax, 16, 4, 4)
+        dq = transform.forward_transform_4x4(diff)
+        q = transform.quantize_residual(dq, qp, True)
+        # DC path: raster-ordered 4x4 of the per-block DC coefficients
+        zx = bxy[:, 0] // 4
+        zy = bxy[:, 1] // 4
+        dc = jnp.zeros((dmax, 4, 4), jnp.int32)
+        dc = dc.at[:, zy, zx].set(q[:, :, 0, 0])
+        qdc = transform.forward_dc_luma(dc, qp)
+        i16dc_list = transform.zigzag_scan(qdc)  # (dmax, 16)
+        ac_list = transform.zigzag_scan(q)[:, :, 1:]  # (dmax, 16, 15)
+
+        # inverse: DC hadamard + per-block residual, reconstruct + clip
+        dcv = transform.inverse_dc_luma(transform.zigzag_unscan(i16dc_list), qp)
+        full = jnp.concatenate(
+            [dcv[:, zy, zx][..., None], ac_list], axis=-1
+        )  # (dmax, 16, 16) zigzag lists incl. DC
+        res = transform.inverse_residual(
+            transform.zigzag_unscan(full), qp, True
+        )
+        out_mb = jnp.clip(pred + blocks_mb(res), 0, 255)
+
+        recon = recon.at[rw, cc].set(out_mb)
+        idx = jnp.where(valid, rc * wmb + cc, nmb)  # nmb = scratch slot
+        dc_out = dc_out.at[idx].set(i16dc_list)
+        ac_out = ac_out.at[idx].set(ac_list)
+        return recon, dc_out, ac_out
+
+    recon0 = jnp.zeros((hmb + 1, wmb, 16, 16), jnp.int32)  # +scratch row
+    dc0 = jnp.zeros((nmb + 1, 16), jnp.int32)
+    ac0 = jnp.zeros((nmb + 1, 16, 15), jnp.int32)
+    recon, dc_out, ac_out = jax.lax.fori_loop(
+        0, ndiag, step, (recon0, dc0, ac0)
+    )
+    frame = recon[:hmb].transpose(0, 2, 1, 3).reshape(hmb * 16, wmb * 16)
+    return frame, dc_out[:nmb], ac_out[:nmb]

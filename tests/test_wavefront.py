@@ -1,0 +1,72 @@
+"""Device wavefront I16 reconstruction vs a sequential host reference."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from h264_fer_tpu.kernels.wavefront import wavefront_i16_luma
+from h264_fer_tpu.ops import intra, transform
+from h264_fer_tpu.ops.tables import INTRA4X4_SCAN_ORDER_XY
+
+
+def host_i16_recon(y, modes, wmb, hmb, qp):
+    """Sequential raster reconstruction (the encoder's exact semantics)."""
+    recon = np.zeros_like(y)
+    dc_all = np.zeros((wmb * hmb, 16), np.int32)
+    ac_all = np.zeros((wmb * hmb, 16, 15), np.int32)
+    for mb in range(wmb * hmb):
+        r, c = mb // wmb, mb % wmb
+        x0, y0 = c * 16, r * 16
+        p = np.full(33, -1, np.int32)
+        if x0 > 0 and y0 > 0:
+            p[0] = recon[y0 - 1, x0 - 1]
+        if x0 > 0:
+            p[1:17] = recon[y0 : y0 + 16, x0 - 1]
+        if y0 > 0:
+            p[17:33] = recon[y0 - 1, x0 : x0 + 16]
+        pred = intra.predict_16x16(p, int(modes[mb]))
+        src = y[y0 : y0 + 16, x0 : x0 + 16]
+        blocks = np.stack([
+            (src - pred)[by : by + 4, bx : bx + 4]
+            for bx, by in INTRA4X4_SCAN_ORDER_XY
+        ])
+        q = transform.quantize_residual(
+            transform.forward_transform_4x4(blocks.astype(np.int32)), qp, True
+        )
+        dc = np.zeros((4, 4), np.int32)
+        for b, (bx, by) in enumerate(INTRA4X4_SCAN_ORDER_XY):
+            dc[by // 4, bx // 4] = q[b, 0, 0]
+        qdc = transform.forward_dc_luma(dc, qp)
+        dc_all[mb] = transform.zigzag_scan(qdc)
+        ac_all[mb] = transform.zigzag_scan(q)[:, 1:]
+        dcv = transform.inverse_dc_luma(qdc, qp)
+        out = np.zeros((16, 16), np.int32)
+        for b, (bx, by) in enumerate(INTRA4X4_SCAN_ORDER_XY):
+            lst = np.zeros(16, np.int32)
+            lst[0] = dcv[by // 4, bx // 4]
+            lst[1:] = ac_all[mb, b]
+            res = transform.inverse_residual(
+                transform.zigzag_unscan(lst), qp, True
+            )
+            out[by : by + 4, bx : bx + 4] = res
+        recon[y0 : y0 + 16, x0 : x0 + 16] = np.clip(pred + out, 0, 255)
+    return recon, dc_all, ac_all
+
+
+@pytest.mark.parametrize("qp", [20, 32])
+def test_wavefront_matches_sequential(qp):
+    rng = np.random.default_rng(qp)
+    hmb, wmb = 5, 7
+    y = rng.integers(0, 256, (hmb * 16, wmb * 16)).astype(np.int32)
+    modes = rng.integers(0, 3, hmb * wmb).astype(np.int32)  # V/H/DC mix
+    # availability: first row can't use V? mode 0 needs top — make row 0 DC,
+    # col 0 not H
+    modes[: wmb] = 2
+    modes[:: wmb] = np.where(modes[::wmb] == 1, 2, modes[::wmb])
+    gold = host_i16_recon(y, modes, wmb, hmb, qp)
+    got = wavefront_i16_luma(jnp.asarray(y), jnp.asarray(modes),
+                             wmb=wmb, hmb=hmb, qp=qp)
+    np.testing.assert_array_equal(np.asarray(got[0]), gold[0])
+    np.testing.assert_array_equal(np.asarray(got[1]), gold[1])
+    np.testing.assert_array_equal(np.asarray(got[2]), gold[2])
