@@ -122,3 +122,96 @@ def wavefront_i16_luma(y_src, modes, wmb: int, hmb: int, qp: int):
     )
     frame = recon[:hmb].transpose(0, 2, 1, 3).reshape(hmb * 16, wmb * 16)
     return frame, dc_out[:nmb], ac_out[:nmb]
+
+
+@functools.partial(jax.jit, static_argnames=("wmb", "hmb", "qp"))
+def wavefront_i4x4_luma(y_src, modes, wmb: int, hmb: int, qp: int):
+    """Reconstruct a frame where every MB is Intra_4x4 luma.
+
+    The 4x4-block dependency set (left, top, top-right, top-left) admits a
+    knight-move wavefront d = 2*R + C over the global block grid
+    (R = 4*mb_row + block_row, C = 4*mb_col + block_col): every
+    dependency of a block on wave d lies on a wave < d.
+
+    modes: (nmb, 16) Z-scan per-block modes. Returns
+    (recon (H, W) int32, levels (nmb, 16, 16) zig-zag coefficient lists).
+    """
+    from ..ops.tables import RASTER_TO_LUMA_BLOCK
+
+    nmb = wmb * hmb
+    HB, WB = 4 * hmb, 4 * wmb
+    nwave = 2 * (HB - 1) + WB
+    smax = min(HB, WB // 2 + 1)  # max distinct rows on one knight-diagonal
+
+    # source as a (HB, WB, 4, 4) block grid
+    src_grid = y_src.reshape(HB, 4, WB, 4).transpose(0, 2, 1, 3)
+
+    # per-global-block mode lookup: mode_grid[R, C]
+    rast_to_z = jnp.asarray(RASTER_TO_LUMA_BLOCK)  # raster in MB -> z index
+    Rg, Cg = jnp.meshgrid(jnp.arange(HB), jnp.arange(WB), indexing="ij")
+    z_idx = rast_to_z[(Rg % 4) * 4 + (Cg % 4)]
+    mb_idx = (Rg // 4) * wmb + (Cg // 4)
+    mode_grid = modes[mb_idx, z_idx]  # (HB, WB)
+    zsel_grid = z_idx
+    mb_grid = mb_idx
+
+    slot = jnp.arange(smax)
+
+    def step(d, carry):
+        recon, lv_out = carry
+        r0 = jnp.maximum(0, (d - WB + 2) // 2)  # first row with C < WB
+        R = r0 + slot
+        C = d - 2 * R
+        valid = (R < HB) & (C >= 0) & (C < WB)
+        Rc = jnp.where(valid, R, 0)
+        Cc = jnp.where(valid, C, 0)
+        Rw = jnp.where(valid, R, HB)  # scratch row
+
+        left_ok = (Cc > 0) & valid
+        top_ok = (Rc > 0) & valid
+        corner_ok = left_ok & top_ok
+        Rm1 = jnp.maximum(Rc - 1, 0)
+        Cm1 = jnp.maximum(Cc - 1, 0)
+        Cp1 = jnp.minimum(Cc + 1, WB - 1)
+        corner = jnp.where(corner_ok, recon[Rm1, Cm1, 3, 3], -1)
+        lcol = jnp.where(left_ok[:, None], recon[Rc, Cm1, :, 3], -1)
+        trow = jnp.where(top_ok[:, None], recon[Rm1, Cc, 3, :], -1)
+        # above-right with the replication rule (intra.cpp:345-370)
+        bx = Cc % 4
+        by = Rc % 4
+        repl = (
+            (Cc + 1 >= WB)
+            | ((bx == 3) & (by > 0))
+            | ((bx == 1) & ((by == 1) | (by == 3)))
+        )
+        ar_raw = recon[Rm1, Cp1, 3, :]  # (smax, 4)
+        last = trow[:, 3]
+        ar = jnp.where(
+            (repl | ~top_ok)[:, None], last[:, None], ar_raw
+        )
+        ar = jnp.where(top_ok[:, None], ar, -1)
+        p13 = jnp.concatenate([corner[:, None], lcol, trow, ar], axis=-1)
+
+        m = mode_grid[Rc, Cc]
+        preds = intra.predict_4x4_all_modes(p13)  # (9, smax, 4, 4)
+        pred = jnp.take_along_axis(preds, m[None, :, None, None], axis=0)[0]
+
+        srcs = src_grid[Rc, Cc]
+        q = transform.quantize_residual(
+            transform.forward_transform_4x4(srcs - pred), qp, False
+        )
+        res = transform.inverse_residual(q, qp, False)
+        out_blk = jnp.clip(pred + res, 0, 255)
+
+        recon = recon.at[Rw, Cc].set(out_blk)
+        flat = jnp.where(
+            valid, mb_grid[Rc, Cc] * 16 + zsel_grid[Rc, Cc], nmb * 16
+        )
+        lv_out = lv_out.at[flat].set(transform.zigzag_scan(q))
+        return recon, lv_out
+
+    recon0 = jnp.zeros((HB + 1, WB, 4, 4), jnp.int32)
+    lv0 = jnp.zeros((nmb * 16 + 1, 16), jnp.int32)
+    recon, lv_out = jax.lax.fori_loop(0, nwave, step, (recon0, lv0))
+    frame = recon[:HB].transpose(0, 2, 1, 3).reshape(HB * 4, WB * 4)
+    return frame, lv_out[: nmb * 16].reshape(nmb, 16, 16)

@@ -70,3 +70,66 @@ def test_wavefront_matches_sequential(qp):
     np.testing.assert_array_equal(np.asarray(got[0]), gold[0])
     np.testing.assert_array_equal(np.asarray(got[1]), gold[1])
     np.testing.assert_array_equal(np.asarray(got[2]), gold[2])
+
+
+def host_i4_recon(y, modes, wmb, hmb, qp):
+    """Sequential reference for the Intra_4x4 wavefront."""
+    recon = np.zeros_like(y)
+    lv = np.zeros((wmb * hmb, 16, 16), np.int32)
+    W = y.shape[1]
+    for mb in range(wmb * hmb):
+        r, c = mb // wmb, mb % wmb
+        x0, y0 = c * 16, r * 16
+        for blk in range(16):
+            bx, by = INTRA4X4_SCAN_ORDER_XY[blk]
+            x, yy = x0 + bx, y0 + by
+            p = np.full(13, -1, np.int32)
+            if x > 0 and yy > 0:
+                p[0] = recon[yy - 1, x - 1]
+            if x > 0:
+                p[1:5] = recon[yy : yy + 4, x - 1]
+            if yy > 0:
+                p[5:9] = recon[yy - 1, x : x + 4]
+                xf = x + 4
+                edge = (xf >= W) or (bx == 12 and by > 0)
+                if edge or blk in (3, 11):
+                    p[9:13] = recon[yy - 1, x + 3]
+                else:
+                    p[9:13] = recon[yy - 1, xf : xf + 4]
+            pred = intra.predict_4x4(p, int(modes[mb, blk]))
+            src = y[yy : yy + 4, x : x + 4]
+            q = transform.quantize_residual(
+                transform.forward_transform_4x4((src - pred).astype(np.int32)),
+                qp, False,
+            )
+            lv[mb, blk] = transform.zigzag_scan(q)
+            res = transform.inverse_residual(q, qp, False)
+            recon[yy : yy + 4, x : x + 4] = np.clip(pred + res, 0, 255)
+    return recon, lv
+
+
+@pytest.mark.parametrize("hmb,wmb,qp", [(4, 6, 28), (3, 3, 20), (6, 2, 35)])
+def test_i4x4_wavefront_matches_sequential(hmb, wmb, qp):
+    from h264_fer_tpu.kernels.wavefront import wavefront_i4x4_luma
+
+    rng = np.random.default_rng(qp)
+    y = rng.integers(0, 256, (hmb * 16, wmb * 16)).astype(np.int32)
+    modes = rng.integers(0, 9, (hmb * wmb, 16)).astype(np.int32)
+    for mb in range(hmb * wmb):
+        r, c = mb // wmb, mb % wmb
+        for blk in range(16):
+            bx, by = INTRA4X4_SCAN_ORDER_XY[blk]
+            no_top = r == 0 and by == 0
+            no_left = c == 0 and bx == 0
+            m = modes[mb, blk]
+            if no_top and no_left and m != 2:
+                modes[mb, blk] = 2
+            elif no_top and m in (0, 3, 4, 5, 6, 7):
+                modes[mb, blk] = 2
+            elif no_left and m in (1, 4, 5, 6, 8):
+                modes[mb, blk] = 2
+    gold = host_i4_recon(y, modes, wmb, hmb, qp)
+    got = wavefront_i4x4_luma(jnp.asarray(y), jnp.asarray(modes),
+                              wmb=wmb, hmb=hmb, qp=qp)
+    np.testing.assert_array_equal(np.asarray(got[0]), gold[0])
+    np.testing.assert_array_equal(np.asarray(got[1]), gold[1])
