@@ -215,3 +215,96 @@ def wavefront_i4x4_luma(y_src, modes, wmb: int, hmb: int, qp: int):
     recon, lv_out = jax.lax.fori_loop(0, nwave, step, (recon0, lv0))
     frame = recon[:HB].transpose(0, 2, 1, 3).reshape(HB * 4, WB * 4)
     return frame, lv_out[: nmb * 16].reshape(nmb, 16, 16)
+
+
+@functools.partial(jax.jit, static_argnames=("wmb", "hmb", "qp"))
+def wavefront_chroma(cb_src, cr_src, modes, wmb: int, hmb: int, qp: int):
+    """Reconstruct intra chroma for a frame (all MBs intra, per-MB modes).
+
+    cb_src/cr_src: (H/2, W/2) int32; modes: (nmb,) chroma modes; qp is the
+    CHROMA QP. MB-diagonal wavefront (left/top/corner deps only).
+    Returns (cb, cr, dc (2, nmb, 4), ac (2, nmb, 4, 15)).
+    """
+    nmb = wmb * hmb
+    ndiag = hmb + wmb - 1
+    dmax = min(hmb, wmb)
+
+    def to_grid(p):
+        return p.reshape(hmb, 8, wmb, 8).transpose(0, 2, 1, 3)
+
+    src = jnp.stack([to_grid(cb_src), to_grid(cr_src)])  # (2, hmb, wmb, 8, 8)
+    modes_grid = modes.reshape(hmb, wmb)
+    slot = jnp.arange(dmax)
+
+    def blocks_of(mb):  # (..., 8, 8) -> (..., 4, 4, 4) raster 4x4 blocks
+        b = mb.reshape(*mb.shape[:-2], 2, 4, 2, 4)
+        b = jnp.moveaxis(b, -3, -2)
+        return b.reshape(*mb.shape[:-2], 4, 4, 4)
+
+    def mb_of(blocks):
+        b = blocks.reshape(*blocks.shape[:-3], 2, 2, 4, 4)
+        b = jnp.moveaxis(b, -2, -3)
+        return b.reshape(*blocks.shape[:-3], 8, 8)
+
+    def step(d, carry):
+        recon, dc_out, ac_out = carry  # recon: (2, hmb+1, wmb, 8, 8)
+        rs = slot
+        cs = d - slot
+        valid = (rs < hmb) & (cs >= 0) & (cs < wmb)
+        rc = jnp.where(valid, rs, 0)
+        cc = jnp.where(valid, cs, 0)
+        rw = jnp.where(valid, rs, hmb)
+
+        left_ok = (cc > 0) & valid
+        top_ok = (rc > 0) & valid
+        corner_ok = left_ok & top_ok
+        rm1 = jnp.maximum(rc - 1, 0)
+        cm1 = jnp.maximum(cc - 1, 0)
+        # advanced-indexing axis order: contiguous advanced blocks stay in
+        # place ((2, dmax, ...)); the slice-interrupted lcol gather moves
+        # them to the front and needs a moveaxis
+        corner = jnp.where(corner_ok[None, :], recon[:, rm1, cm1, 7, 7], -1)
+        lcol = jnp.where(
+            left_ok[None, :, None], jnp.moveaxis(recon[:, rc, cm1, :, 7], 0, 1), -1
+        )
+        trow = jnp.where(top_ok[None, :, None], recon[:, rm1, cc, 7, :], -1)
+        p17 = jnp.concatenate([corner[..., None], lcol, trow], axis=-1)
+
+        m = modes_grid[rc, cc]
+        preds = intra.predict_chroma_all_modes(p17)  # (4, 2, dmax, 8, 8)
+        pred = jnp.take_along_axis(
+            preds, m[None, None, :, None, None], axis=0
+        )[0]  # (2, dmax, 8, 8)
+
+        diff = blocks_of(src[:, rc, cc] - pred)  # (2, dmax, 4, 4, 4)
+        q = transform.quantize_residual(
+            transform.forward_transform_4x4(diff), qp, True
+        )
+        dc2 = q[..., 0, 0].reshape(2, dmax, 2, 2)
+        qdc = transform.forward_dc_chroma(dc2, qp)
+        dcv = transform.inverse_dc_chroma(qdc, qp)
+        ac_list = transform.zigzag_scan(q)[..., 1:]  # (2, dmax, 4, 15)
+        full = jnp.concatenate(
+            [dcv.reshape(2, dmax, 4)[..., None], ac_list], axis=-1
+        )
+        res = transform.inverse_residual(
+            transform.zigzag_unscan(full), qp, True
+        )
+        out_mb = jnp.clip(pred + mb_of(res), 0, 255)
+
+        recon = recon.at[:, rw, cc].set(out_mb)
+        idx = jnp.where(valid, rc * wmb + cc, nmb)
+        dc_out = dc_out.at[:, idx].set(qdc.reshape(2, dmax, 4))
+        ac_out = ac_out.at[:, idx].set(ac_list)
+        return recon, dc_out, ac_out
+
+    recon0 = jnp.zeros((2, hmb + 1, wmb, 8, 8), jnp.int32)
+    dc0 = jnp.zeros((2, nmb + 1, 4), jnp.int32)
+    ac0 = jnp.zeros((2, nmb + 1, 4, 15), jnp.int32)
+    recon, dc_out, ac_out = jax.lax.fori_loop(0, ndiag, step, (recon0, dc0, ac0))
+
+    def from_grid(g):
+        return g[:hmb].transpose(0, 2, 1, 3).reshape(hmb * 8, wmb * 8)
+
+    return (from_grid(recon[0]), from_grid(recon[1]),
+            dc_out[:, :nmb], ac_out[:, :nmb])

@@ -133,3 +133,70 @@ def test_i4x4_wavefront_matches_sequential(hmb, wmb, qp):
                               wmb=wmb, hmb=hmb, qp=qp)
     np.testing.assert_array_equal(np.asarray(got[0]), gold[0])
     np.testing.assert_array_equal(np.asarray(got[1]), gold[1])
+
+
+def host_chroma_recon(cbs, crs, modes, wmb, hmb, qp):
+    rb = np.zeros_like(cbs)
+    rr = np.zeros_like(crs)
+    dc = np.zeros((2, wmb * hmb, 4), np.int32)
+    ac = np.zeros((2, wmb * hmb, 4, 15), np.int32)
+    for mb in range(wmb * hmb):
+        r, c = mb // wmb, mb % wmb
+        x0, y0 = c * 8, r * 8
+        for ci, (src, plane) in enumerate([(cbs, rb), (crs, rr)]):
+            p = np.full(17, -1, np.int32)
+            if x0 > 0 and y0 > 0:
+                p[0] = plane[y0 - 1, x0 - 1]
+            if x0 > 0:
+                p[1:9] = plane[y0 : y0 + 8, x0 - 1]
+            if y0 > 0:
+                p[9:17] = plane[y0 - 1, x0 : x0 + 8]
+            pred = intra.predict_chroma(p, int(modes[mb]))
+            diff = (src[y0 : y0 + 8, x0 : x0 + 8] - pred).astype(np.int32)
+            blocks = np.stack([
+                diff[(b // 2) * 4 : (b // 2) * 4 + 4, (b % 2) * 4 : (b % 2) * 4 + 4]
+                for b in range(4)
+            ])
+            q = transform.quantize_residual(
+                transform.forward_transform_4x4(blocks), qp, True)
+            dc2 = np.array([[q[0, 0, 0], q[1, 0, 0]], [q[2, 0, 0], q[3, 0, 0]]],
+                           np.int32)
+            qdc = transform.forward_dc_chroma(dc2, qp)
+            dc[ci, mb] = qdc.reshape(4)
+            ac[ci, mb] = transform.zigzag_scan(q)[:, 1:]
+            dcv = transform.inverse_dc_chroma(qdc, qp)
+            rmb = np.zeros((8, 8), np.int32)
+            for b in range(4):
+                lst = np.zeros(16, np.int32)
+                lst[0] = dcv[b // 2, b % 2]
+                lst[1:] = ac[ci, mb, b]
+                res = transform.inverse_residual(
+                    transform.zigzag_unscan(lst), qp, True)
+                rmb[(b // 2) * 4 : (b // 2) * 4 + 4,
+                    (b % 2) * 4 : (b % 2) * 4 + 4] = res
+            plane[y0 : y0 + 8, x0 : x0 + 8] = np.clip(pred + rmb, 0, 255)
+    return rb, rr, dc, ac
+
+
+@pytest.mark.parametrize("hmb,wmb,qp", [(4, 5, 26), (3, 3, 32), (2, 6, 20)])
+def test_chroma_wavefront_matches_sequential(hmb, wmb, qp):
+    from h264_fer_tpu.kernels.wavefront import wavefront_chroma
+
+    rng = np.random.default_rng(qp)
+    cbs = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.int32)
+    crs = rng.integers(0, 256, (hmb * 8, wmb * 8)).astype(np.int32)
+    modes = rng.integers(0, 4, hmb * wmb).astype(np.int32)
+    for mb in range(hmb * wmb):
+        r, c = mb // wmb, mb % wmb
+        m = modes[mb]
+        if r == 0 and m == 2:
+            modes[mb] = 0
+        if c == 0 and m == 1:
+            modes[mb] = 0
+        if (r == 0 or c == 0) and m == 3:
+            modes[mb] = 0
+    gold = host_chroma_recon(cbs, crs, modes, wmb, hmb, qp)
+    got = wavefront_chroma(jnp.asarray(cbs), jnp.asarray(crs),
+                           jnp.asarray(modes), wmb=wmb, hmb=hmb, qp=qp)
+    for g, h in zip(got, gold):
+        np.testing.assert_array_equal(np.asarray(g), h)
