@@ -60,7 +60,7 @@ _I4_GATE = {0: "top", 1: "left", 3: "top", 4: "corner", 5: "corner",
 
 class Encoder:
     def __init__(self, width: int, height: int, cfg: EncoderConfig,
-                 tpu_pipeline=None, tpu_me=None) -> None:
+                 tpu_pipeline=None, tpu_me=None, tpu_iframe: bool = False) -> None:
         """`tpu_pipeline`: optional TpuIntraPipeline. Whole-frame intra
         mode pre-decision on device (the reference's GPU-offload analog,
         rbsp_encoding.cpp:144 + intra.cpp:961-977); the exact bit-cost
@@ -99,6 +99,9 @@ class Encoder:
         self._tpu_modes = None
         self.tpu_me = tpu_me
         self._me_cands = None
+        # all-device I-frame path: modes + wavefront reconstruction on
+        # TPU (Intra_16x16 only), host writes entropy. Requires tpu_pipeline.
+        self.tpu_iframe = tpu_iframe
 
     # ------------------------------------------------------------------
     # Session API (encode() / NastaviEncode() parity, fer_h264.cpp:81-134)
@@ -218,6 +221,10 @@ class Encoder:
         shd.write(w, self.sps, self.pps, nal_type, 1)
 
         self.slice_type = slice_type
+        if slice_type == I_SLICE and self.tpu_iframe and self.tpu_pipeline:
+            self._device_iframe_precompute()
+        else:
+            self._dev_i16 = None
         # Snapshot of prior-frame MB state: needed to emulate the decoder's
         # trailing-skip drop (see below).
         prev_state = (
@@ -236,6 +243,9 @@ class Encoder:
                 write_ue(w, mb_skip_run)
                 mb_skip_run = 0
                 self._write_inter_mb(w, curr, *res)
+                pos_after_last_coded = w.bit_position
+            elif self._dev_i16 is not None:
+                self._intra_encode_mb_device(w, curr)
                 pos_after_last_coded = w.bit_position
             else:
                 self._intra_encode_mb(w, curr)
@@ -757,6 +767,59 @@ class Encoder:
             self.nz_luma[curr] = i16ac.any(axis=1) | i16dc.any()
             self._reconstruct_luma_i16(curr, pred16, i16dc, i16ac)
             self._reconstruct_chroma(curr, pred_cb, pred_cr, cdc, cac)
+
+    def _device_iframe_precompute(self) -> None:
+        """All-device I-frame: mode decision + wavefront reconstruction of
+        every plane on TPU (Intra_16x16 path; the generalized form of the
+        reference's GPU offload with reconstruction moved on-device too).
+        The host slice loop below only performs CAVLC/syntax writing."""
+        import jax.numpy as jnp
+
+        from ..kernels.wavefront import wavefront_chroma, wavefront_i16_luma
+        from ..ops.intra import INTRA16_TO_CHROMA_MODE
+
+        out = self.tpu_pipeline(np.asarray(self.y, np.int32))
+        m16 = out["mode16"]
+        recon_y, i16dc, i16ac = wavefront_i16_luma(
+            jnp.asarray(self.y, jnp.int32), m16,
+            wmb=self.wmb, hmb=self.hmb, qp=self.qpy,
+        )
+        cmodes = jnp.asarray(INTRA16_TO_CHROMA_MODE)[m16]
+        recon_cb, recon_cr, cdc, cac = wavefront_chroma(
+            jnp.asarray(self.cb, jnp.int32), jnp.asarray(self.cr, jnp.int32),
+            cmodes, wmb=self.wmb, hmb=self.hmb, qp=self.qpc,
+        )
+        self._dev_i16 = {
+            "mode16": np.asarray(m16),
+            "cmode": np.asarray(cmodes),
+            "i16dc": np.asarray(i16dc),
+            "i16ac": np.asarray(i16ac),
+            "cdc": np.asarray(cdc),
+            "cac": np.asarray(cac),
+        }
+        self.y[:] = np.asarray(recon_y)
+        self.cb[:] = np.asarray(recon_cb)
+        self.cr[:] = np.asarray(recon_cr)
+
+    def _intra_encode_mb_device(self, w: BitWriter, curr: int) -> None:
+        """Syntax/CAVLC writing for a device-reconstructed I16 MB."""
+        d = self._dev_i16
+        i16dc = d["i16dc"][curr]
+        i16ac = d["i16ac"][curr]
+        cdc = d["cdc"][:, curr]
+        cac = d["cac"][:, curr]
+        cbp_l, cbp_c = self._cbp_from_levels(True, i16ac, cdc, cac)
+        mb_type = T.i16_mb_type(int(d["mode16"][curr]), cbp_c, cbp_l == 15)
+        raw_type = mb_type if self.slice_type == I_SLICE else mb_type + 5
+        self.mb_type[curr] = raw_type
+        self.mb_intra[curr] = True
+        self.mb_i4x4[curr] = False
+        write_ue(w, raw_type)
+        write_ue(w, int(d["cmode"][curr]))
+        write_se(w, 0)  # mb_qp_delta
+        self._residual_bits(curr, True, i16dc, i16ac, None, cdc, cac,
+                            cbp_l, cbp_c, writer=w)
+        self.nz_luma[curr] = i16ac.any(axis=1) | i16dc.any()
 
     # ------------------------------------------------------------------
     # Inter encoding (interEncoding structure, moestimation.cpp:392-585;

@@ -66,3 +66,25 @@ def test_p_skip_and_gop_structure(clip):
     assert sizes[1] < 100 and sizes[2] < 32, sizes
     assert psnr(dec[1][0], dec[0][0]) > 45.0
     assert psnr(dec[2][0], dec[0][0]) > 45.0
+
+
+def test_tpu_iframe_all_device_path(clip):
+    """All-device I-frame encode (modes + wavefront recon on device, host
+    entropy only): stream decodes identically in our decoder and the
+    encoder loop closes (recon == decode)."""
+    from h264_fer_tpu.codec.tpu_intra import TpuIntraPipeline
+
+    pipe = TpuIntraPipeline(176, 144, 28)
+    enc = Encoder(176, 144, EncoderConfig(qp=28, intra_every=1),
+                  tpu_pipeline=pipe, tpu_iframe=True)
+    stream = enc.headers() + enc.encode_frame(*clip[0])
+    rec = enc.reconstructed()
+    dec = list(Decoder().decode_annexb(stream))
+    assert len(dec) == 1
+    for k in range(3):
+        np.testing.assert_array_equal(dec[0][k], rec[k])
+    # quality close to the exact path
+    e0 = Encoder(176, 144, EncoderConfig(qp=28, intra_every=1))
+    s0 = e0.headers() + e0.encode_frame(*clip[0])
+    d0 = list(Decoder().decode_annexb(s0))
+    assert psnr(dec[0][0], clip[0][0]) > psnr(d0[0][0], clip[0][0]) - 0.3
