@@ -35,7 +35,7 @@ def _cmd_encode(args) -> int:
         deblock=args.deblock,
     )
     tpu_pipeline = tpu_me = None
-    if args.tpu_modes:
+    if args.tpu_modes or args.tpu_iframe:
         from .codec.tpu_intra import TpuIntraPipeline
 
         tpu_pipeline = TpuIntraPipeline(rd.width, rd.height, args.qp)
@@ -44,7 +44,7 @@ def _cmd_encode(args) -> int:
 
         tpu_me = TpuMePipeline(window=args.window_size // 2)
     enc = Encoder(rd.width, rd.height, cfg, tpu_pipeline=tpu_pipeline,
-                  tpu_me=tpu_me)
+                  tpu_me=tpu_me, tpu_iframe=args.tpu_iframe)
     t0 = time.time()
     n = 0
     with open(args.output, "wb") as f:
@@ -130,6 +130,8 @@ def main(argv=None) -> int:
                    help="intra mode pre-decision on TPU")
     e.add_argument("--tpu-me", action="store_true",
                    help="motion search on TPU")
+    e.add_argument("--tpu-iframe", action="store_true",
+                   help="all-device I-frames (modes + wavefront recon on TPU)")
     e.add_argument("--stats", action="store_true")
     e.set_defaults(fn=_cmd_encode)
 

@@ -190,6 +190,20 @@ class Decoder:
         qpy = shd.slice_qp_y(self.pps)
         self.qpy = qpy
 
+        # P slices: precompute 16-phase interpolated reference planes once
+        # per frame (bit-identical to per-window MC; ops/interp.py) — large
+        # MVs beyond the padded extent fall back to the window path.
+        if slice_type % 5 != I_SLICE and self.ref_y is not None:
+            from ..ops.interp import LazyInterpPlanes, pad_chroma
+
+            self._interp_ext = 40
+            self._interp = LazyInterpPlanes(self.ref_y, ext=self._interp_ext)
+            self._interp_extc = self._interp_ext // 2 + 1
+            self._interp_cb = pad_chroma(self.ref_cb, self._interp_extc)
+            self._interp_cr = pad_chroma(self.ref_cr, self._interp_extc)
+        else:
+            self._interp = None
+
         curr = 0
         more_data = True
         while more_data and curr < self.nmb:
@@ -227,6 +241,21 @@ class Decoder:
             self.cr.astype(np.uint8),
         )
 
+    def _mc_mb(self, curr: int):
+        mv = self.mv[curr]
+        if self._interp is not None and np.abs(mv).max() <= self._interp_ext * 4 - 4:
+            from ..ops.interp import mc_macroblock_from_planes
+
+            return mc_macroblock_from_planes(
+                self._interp, self._interp_cb, self._interp_cr,
+                curr % self.wmb, curr // self.wmb, mv,
+                self._interp_ext, self._interp_extc,
+            )
+        return mc.mc_macroblock(
+            self.ref_y, self.ref_cb, self.ref_cr,
+            curr % self.wmb, curr // self.wmb, mv,
+        )
+
     # -- P_Skip ------------------------------------------------------------
     def _decode_skip_mb(self, curr: int) -> None:
         self.mb_type[curr] = MB_SKIP
@@ -236,10 +265,7 @@ class Decoder:
         self.tc_luma[curr] = 0
         self.tc_chroma[:, curr] = 0
         self._derive_skip_mv(curr)
-        pred_l, pred_cb, pred_cr = mc.mc_macroblock(
-            self.ref_y, self.ref_cb, self.ref_cr,
-            curr % self.wmb, curr // self.wmb, self.mv[curr],
-        )
+        pred_l, pred_cb, pred_cr = self._mc_mb(curr)
         # QPy update with (possibly stale) mb_qp_delta (rbsp_decoding.cpp:111)
         self.qpy = (self.qpy + self.mb_qp_delta + 52) % 52
         self._reconstruct_inter(
@@ -343,10 +369,7 @@ class Decoder:
             )
         else:
             self._derive_inter_mv(curr, mb_type, cls, sub_mb_type, mvd)
-            pred_l, pred_cb, pred_cr = mc.mc_macroblock(
-                self.ref_y, self.ref_cb, self.ref_cr,
-                curr % self.wmb, curr // self.wmb, self.mv[curr],
-            )
+            pred_l, pred_cb, pred_cr = self._mc_mb(curr)
             self._reconstruct_inter(
                 curr, pred_l, pred_cb, pred_cr, luma_levels, chroma_dc,
                 chroma_ac, cbp_luma,
@@ -477,20 +500,21 @@ class Decoder:
         """transformDecodingChroma (inttransform.cpp:237-321) per channel."""
         x0, y0 = self._mb_origin(curr)
         qpc = transform.chroma_qp(self.qpy, self.pps.chroma_qp_index_offset)
+        # batched over both channels x 4 blocks (8 inverse transforms at once)
+        dcv = transform.inverse_dc_chroma(chroma_dc.reshape(2, 2, 2), qpc)
+        lists = np.empty((2, 4, 16), np.int32)
+        lists[:, :, 0] = dcv.reshape(2, 4)
+        lists[:, :, 1:] = chroma_ac
+        res = transform.inverse_residual(
+            transform.zigzag_unscan(lists), qpc, True
+        )
         for c, (pred, plane) in enumerate(
             ((pred_cb, self.cb), (pred_cr, self.cr))
         ):
-            dc = chroma_dc[c].reshape(2, 2)
-            dcv = transform.inverse_dc_chroma(dc, qpc)
             rmb = np.zeros((8, 8), np.int32)
             for blk in range(4):
-                lst = np.zeros(16, np.int32)
-                lst[0] = dcv[blk // 2, blk % 2]
-                lst[1:] = chroma_ac[c, blk]
-                blk4 = transform.zigzag_unscan(lst)
-                res = transform.inverse_residual(blk4, qpc, True)
                 bx, by = (blk % 2) * 4, (blk // 2) * 4
-                rmb[by : by + 4, bx : bx + 4] = res
+                rmb[by : by + 4, bx : bx + 4] = res[c, blk]
             out = np.clip(pred + rmb, 0, 255)
             plane[y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8] = out
 

@@ -142,3 +142,91 @@ def mc_macroblock_from_planes(planes, cb_pad, cr_pad, mb_x, mb_y, mv,
                 + (8 - fx) * fy * c + fx * fy * d + 32
             ) >> 6
     return pred_l, pred_cb, pred_cr
+
+
+class LazyInterpPlanes:
+    """Per-frac lazy variant of interpolated_planes: computes (and caches)
+    only the fractional planes actually referenced — decode of mostly
+    integer-MV content touches one or two fracs per frame."""
+
+    def __init__(self, ref: np.ndarray, ext: int = 0) -> None:
+        H, W = ref.shape
+        self._pad = ext + 4
+        self._P = np.pad(ref.astype(np.int32), self._pad, mode="edge")
+        self._he, self._we = H + 2 * ext, W + 2 * ext
+        self._ext = ext
+        self._cache: dict[int, np.ndarray] = {}
+        self._mid: dict[str, np.ndarray] = {}
+
+    # intermediates -----------------------------------------------------
+    def _full(self, x0, y0):
+        p0 = self._pad - self._ext
+        return self._P[p0 + y0 : p0 + y0 + self._he,
+                       p0 + x0 : p0 + x0 + self._we]
+
+    def _get_mid(self, name):
+        m = self._mid.get(name)
+        if m is not None:
+            return m
+        p0 = self._pad - self._ext
+        P, he, we = self._P, self._he, self._we
+        if name == "b":
+            m = _tap6_h(P[p0 : p0 + he, p0 - 2 : p0 + we + 3])
+        elif name == "h":
+            m = _tap6_v(P[p0 - 2 : p0 + he + 3, p0 : p0 + we])
+        elif name == "s":  # b at y+1
+            bw = _tap6_h(P[p0 - 1 : p0 + he + 1, p0 - 2 : p0 + we + 3])
+            m = bw[2 : 2 + he, :]
+        elif name == "m":  # h at x+1
+            hw = _tap6_v(P[p0 - 2 : p0 + he + 3, p0 - 1 : p0 + we + 1])
+            m = hw[:, 2 : 2 + we]
+        elif name == "j":
+            hj = _tap6_v(P[p0 - 2 : p0 + he + 3, p0 - 2 : p0 + we + 3])
+            m = _tap6_h(hj)[:, : we]
+        else:
+            raise KeyError(name)
+        self._mid[name] = m
+        return m
+
+    def __getitem__(self, frac: int) -> np.ndarray:
+        pl = self._cache.get(frac)
+        if pl is not None:
+            return pl
+        G = self._full(0, 0)
+        g = self._get_mid
+        if frac == 0:
+            pl = G
+        elif frac == 1:
+            pl = _avg(G, g("b"))
+        elif frac == 2:
+            pl = g("b")
+        elif frac == 3:
+            pl = _avg(g("b"), self._full(1, 0))
+        elif frac == 4:
+            pl = _avg(G, g("h"))
+        elif frac == 8:
+            pl = g("h")
+        elif frac == 12:
+            pl = _avg(g("h"), self._full(0, 1))
+        elif frac == 5:
+            pl = _avg(g("b"), g("h"))
+        elif frac == 7:
+            pl = _avg(g("b"), g("m"))
+        elif frac == 13:
+            pl = _avg(g("h"), g("s"))
+        elif frac == 15:
+            pl = _avg(g("s"), g("m"))
+        elif frac == 10:
+            pl = g("j")
+        elif frac == 6:
+            pl = _avg(g("b"), g("j"))
+        elif frac == 9:
+            pl = _avg(g("h"), g("j"))
+        elif frac == 14:
+            pl = _avg(g("j"), g("s"))
+        elif frac == 11:
+            pl = _avg(g("j"), g("m"))
+        else:
+            raise IndexError(frac)
+        self._cache[frac] = pl
+        return pl

@@ -21,7 +21,13 @@ from __future__ import annotations
 
 import numpy as np
 
-from .tables import LEVEL_QUANTIZE, LEVEL_SCALE, QPI_TO_QPC, ZIGZAG_FLAT
+from .tables import (
+    INV_ZIGZAG_FLAT,
+    LEVEL_QUANTIZE,
+    LEVEL_SCALE,
+    QPI_TO_QPC,
+    ZIGZAG_FLAT,
+)
 
 
 def _xp(x):
@@ -315,7 +321,7 @@ def zigzag_unscan(lst):
     Reference: transformInverseScan, scaleTransform.cpp:454-462.
     """
     xp = _xp(lst)
-    out_flat = _scatter_last(xp, lst, ZIGZAG_FLAT)
+    out_flat = lst[..., xp.asarray(INV_ZIGZAG_FLAT)]
     return out_flat.reshape(lst.shape[:-1] + (4, 4))
 
 
@@ -332,7 +338,4 @@ def _set00(xp, a, value):
     return a.at[..., 0, 0].set(value)
 
 
-def _scatter_last(xp, src, perm):
-    """out[..., perm[i]] = src[..., i] along the last axis."""
-    inv = np.argsort(perm)
-    return src[..., xp.asarray(inv)]
+
