@@ -308,3 +308,109 @@ def wavefront_chroma(cb_src, cr_src, modes, wmb: int, hmb: int, qp: int):
 
     return (from_grid(recon[0]), from_grid(recon[1]),
             dc_out[:, :nmb], ac_out[:, :nmb])
+
+
+@functools.partial(jax.jit, static_argnames=("wmb", "hmb", "qp"))
+def wavefront_i16_luma_skewed(y_src, modes, wmb: int, hmb: int, qp: int):
+    """Skewed-layout variant of wavefront_i16_luma (identical outputs).
+
+    The MB grid is stored diagonal-major: skew[d, i] = MB(r=i, c=d-i), so a
+    wavefront step reads rows d-1 / d-2 with dynamic slices and writes row d
+    with one dynamic update — no gather/scatter, much lower per-step cost.
+    """
+    nmb = wmb * hmb
+    ndiag = hmb + wmb - 1
+    dmax = min(hmb, wmb)
+
+    src_grid = y_src.reshape(hmb, 16, wmb, 16).transpose(0, 2, 1, 3)
+    modes_grid = modes.reshape(hmb, wmb)
+
+    from ..ops.tables import INTRA4X4_SCAN_ORDER_XY
+
+    bxy = INTRA4X4_SCAN_ORDER_XY
+    zx = bxy[:, 0] // 4
+    zy = bxy[:, 1] // 4
+
+    def mb_blocks(mb):
+        b = mb.reshape(*mb.shape[:-2], 2, 2, 4, 2, 2, 4)
+        b = jnp.moveaxis(b, (-6, -3, -5, -2), (-6, -5, -4, -3))
+        return b.reshape(*mb.shape[:-2], 16, 4, 4)
+
+    def blocks_mb(blocks):
+        b = blocks.reshape(*blocks.shape[:-3], 2, 2, 2, 2, 4, 4)
+        b = jnp.moveaxis(b, (-6, -5, -4, -3), (-6, -3, -5, -2))
+        return b.reshape(*blocks.shape[:-3], 16, 16)
+
+    slot = jnp.arange(dmax)
+
+    # pre-skew the source and modes: skew[d, i] = (r=i, c=d-i) (invalid -> 0)
+    ds = jnp.arange(ndiag)[:, None]
+    rr = jnp.broadcast_to(slot[None, :], (ndiag, dmax))
+    cc_all = ds - rr
+    val_all = (rr < hmb) & (cc_all >= 0) & (cc_all < wmb)
+    rsafe = jnp.where(val_all, rr, 0)
+    csafe = jnp.where(val_all, cc_all, 0)
+    src_skew = src_grid[rsafe, csafe]       # (ndiag, dmax, 16, 16)
+    modes_skew = modes_grid[rsafe, csafe]   # (ndiag, dmax)
+
+    def step(d, carry):
+        recon, dc_out, ac_out = carry  # recon: (ndiag+2, dmax, 16, 16)
+        # +2 offset so rows d-1 / d-2 exist for d = 0, 1
+        row_valid = jax.lax.dynamic_slice(val_all, (d, 0), (1, dmax))[0]
+        cs = d - slot
+        left_ok = (cs > 0) & row_valid
+        top_ok = (slot > 0) & row_valid
+        corner_ok = left_ok & top_ok
+
+        prev1 = jax.lax.dynamic_slice(
+            recon, (d + 1, 0, 0, 0), (1, dmax, 16, 16))[0]
+        prev2 = jax.lax.dynamic_slice(
+            recon, (d, 0, 0, 0), (1, dmax, 16, 16))[0]
+        # left MB (r=i, c-1) = prev1[i]; top MB (r=i-1, c) = prev1[i-1];
+        # top-left = prev2[i-1]
+        lcol = jnp.where(left_ok[:, None], prev1[:, :, 15], -1)
+        top_sh = jnp.roll(prev1, 1, axis=0)
+        trow = jnp.where(top_ok[:, None], top_sh[:, 15, :], -1)
+        corner_sh = jnp.roll(prev2, 1, axis=0)
+        corner = jnp.where(corner_ok, corner_sh[:, 15, 15], -1)
+        p33 = jnp.concatenate([corner[:, None], lcol, trow], axis=-1)
+
+        m = jax.lax.dynamic_slice(modes_skew, (d, 0), (1, dmax))[0]
+        preds = intra.predict_16x16_all_modes(p33)
+        pred = jnp.take_along_axis(preds, m[None, :, None, None], axis=0)[0]
+
+        srcs = jax.lax.dynamic_slice(
+            src_skew, (d, 0, 0, 0), (1, dmax, 16, 16))[0]
+        diff = mb_blocks(srcs - pred)
+        q = transform.quantize_residual(
+            transform.forward_transform_4x4(diff), qp, True)
+        dc = jnp.zeros((dmax, 4, 4), jnp.int32)
+        dc = dc.at[:, zy, zx].set(q[:, :, 0, 0])
+        qdc = transform.forward_dc_luma(dc, qp)
+        i16dc_list = transform.zigzag_scan(qdc)
+        ac_list = transform.zigzag_scan(q)[:, :, 1:]
+
+        dcv = transform.inverse_dc_luma(transform.zigzag_unscan(i16dc_list), qp)
+        full = jnp.concatenate([dcv[:, zy, zx][..., None], ac_list], axis=-1)
+        res = transform.inverse_residual(transform.zigzag_unscan(full), qp, True)
+        out_mb = jnp.clip(pred + blocks_mb(res), 0, 255)
+
+        recon = jax.lax.dynamic_update_slice(
+            recon, out_mb[None], (d + 2, 0, 0, 0))
+        dc_out = jax.lax.dynamic_update_slice(dc_out, i16dc_list[None], (d, 0, 0))
+        ac_out = jax.lax.dynamic_update_slice(ac_out, ac_list[None], (d, 0, 0, 0))
+        return recon, dc_out, ac_out
+
+    recon0 = jnp.zeros((ndiag + 2, dmax, 16, 16), jnp.int32)
+    dc0 = jnp.zeros((ndiag, dmax, 16), jnp.int32)
+    ac0 = jnp.zeros((ndiag, dmax, 16, 15), jnp.int32)
+    recon, dc_out, ac_out = jax.lax.fori_loop(0, ndiag, step, (recon0, dc0, ac0))
+
+    # unskew: grid[r, c] = skew[r + c, r]
+    rg = jnp.arange(hmb)[:, None]
+    cg = jnp.arange(wmb)[None, :]
+    grid = recon[2 + rg + cg, jnp.broadcast_to(rg, (hmb, wmb))]
+    frame = grid.transpose(0, 2, 1, 3).reshape(hmb * 16, wmb * 16)
+    dcg = dc_out[rg + cg, jnp.broadcast_to(rg, (hmb, wmb))].reshape(nmb, 16)
+    acg = ac_out[rg + cg, jnp.broadcast_to(rg, (hmb, wmb))].reshape(nmb, 16, 15)
+    return frame, dcg, acg
