@@ -66,6 +66,12 @@ class Encoder:
         rbsp_encoding.cpp:144 + intra.cpp:961-977); the exact bit-cost
         arbitration and reconstruction still run per MB."""
         assert width % 16 == 0 and height % 16 == 0
+        if not 0 <= cfg.qp <= 51:
+            raise ValueError(f"qp must be in 0..51, got {cfg.qp}")
+        # NOTE (reference parity): pic_init_qp is written as 14+qp like the
+        # reference (headers_and_parameter_sets.cpp:489), which exceeds the
+        # norm's 51 ceiling for qp > 37; both codecs round-trip it
+        # consistently via se(v).
         self.cfg = cfg
         self.w, self.h = width, height
         self.wmb, self.hmb = width // 16, height // 16
@@ -161,7 +167,11 @@ class Encoder:
             "ms": (time.time() - t0) * 1000.0,
             "idr": is_idr,
             "mb_types": np.bincount(
-                np.where(self.mb_type == MB_SKIP, 5, np.minimum(self.mb_type, 6)),
+                np.where(
+                    self.mb_intra, 6,
+                    np.where(self.mb_type == MB_SKIP, 5,
+                             np.minimum(self.mb_type, 4)),
+                ),
                 minlength=7,
             ).tolist(),
         })
