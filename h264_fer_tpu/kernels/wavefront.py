@@ -35,7 +35,9 @@ def wavefront_i16_luma(y_src, modes, wmb: int, hmb: int, qp: int):
     """
     nmb = wmb * hmb
     ndiag = hmb + wmb - 1
-    dmax = min(hmb, wmb)
+    # slots are ABSOLUTE MB rows: must cover every row (a diagonal in a
+    # tall grid reaches rows >= min(hmb, wmb))
+    dmax = hmb
 
     src_grid = (
         y_src.reshape(hmb, 16, wmb, 16).transpose(0, 2, 1, 3)
@@ -227,7 +229,9 @@ def wavefront_chroma(cb_src, cr_src, modes, wmb: int, hmb: int, qp: int):
     """
     nmb = wmb * hmb
     ndiag = hmb + wmb - 1
-    dmax = min(hmb, wmb)
+    # slots are ABSOLUTE MB rows: must cover every row (a diagonal in a
+    # tall grid reaches rows >= min(hmb, wmb))
+    dmax = hmb
 
     def to_grid(p):
         return p.reshape(hmb, 8, wmb, 8).transpose(0, 2, 1, 3)
@@ -320,7 +324,9 @@ def wavefront_i16_luma_skewed(y_src, modes, wmb: int, hmb: int, qp: int):
     """
     nmb = wmb * hmb
     ndiag = hmb + wmb - 1
-    dmax = min(hmb, wmb)
+    # slots are ABSOLUTE MB rows: must cover every row (a diagonal in a
+    # tall grid reaches rows >= min(hmb, wmb))
+    dmax = hmb
 
     src_grid = y_src.reshape(hmb, 16, wmb, 16).transpose(0, 2, 1, 3)
     modes_grid = modes.reshape(hmb, wmb)
@@ -343,15 +349,24 @@ def wavefront_i16_luma_skewed(y_src, modes, wmb: int, hmb: int, qp: int):
 
     slot = jnp.arange(dmax)
 
-    # pre-skew the source and modes: skew[d, i] = (r=i, c=d-i) (invalid -> 0)
+    # pre-skew the source and modes: skew[d, i] = (r=i, c=d-i).
+    # Built with per-row pads + stack (compile-cheap; an equivalent fancy
+    # gather took ~370 s to compile at 1080p).
     ds = jnp.arange(ndiag)[:, None]
     rr = jnp.broadcast_to(slot[None, :], (ndiag, dmax))
     cc_all = ds - rr
     val_all = (rr < hmb) & (cc_all >= 0) & (cc_all < wmb)
-    rsafe = jnp.where(val_all, rr, 0)
-    csafe = jnp.where(val_all, cc_all, 0)
-    src_skew = src_grid[rsafe, csafe]       # (ndiag, dmax, 16, 16)
-    modes_skew = modes_grid[rsafe, csafe]   # (ndiag, dmax)
+
+    def skew(grid):
+        # grid: (hmb, wmb, ...) → (ndiag, dmax, ...): row r shifted right by r
+        rows = []
+        for r in range(min(hmb, dmax)):
+            pad = [(r, ndiag - wmb - r)] + [(0, 0)] * (grid.ndim - 2)
+            rows.append(jnp.pad(grid[r], pad))
+        return jnp.stack(rows, axis=1)  # (ndiag, dmax, ...)
+
+    src_skew = skew(src_grid)         # (ndiag, dmax, 16, 16)
+    modes_skew = skew(modes_grid)     # (ndiag, dmax)
 
     def step(d, carry):
         recon, dc_out, ac_out = carry  # recon: (ndiag+2, dmax, 16, 16)

@@ -108,7 +108,7 @@ def host_i4_recon(y, modes, wmb, hmb, qp):
     return recon, lv
 
 
-@pytest.mark.parametrize("hmb,wmb,qp", [(4, 6, 28), (3, 3, 20), (6, 2, 35)])
+@pytest.mark.parametrize("hmb,wmb,qp", [(4, 6, 28), (3, 3, 20), (6, 2, 35), (9, 2, 28)])
 def test_i4x4_wavefront_matches_sequential(hmb, wmb, qp):
     from h264_fer_tpu.kernels.wavefront import wavefront_i4x4_luma
 
@@ -178,7 +178,7 @@ def host_chroma_recon(cbs, crs, modes, wmb, hmb, qp):
     return rb, rr, dc, ac
 
 
-@pytest.mark.parametrize("hmb,wmb,qp", [(4, 5, 26), (3, 3, 32), (2, 6, 20)])
+@pytest.mark.parametrize("hmb,wmb,qp", [(4, 5, 26), (3, 3, 32), (2, 6, 20), (9, 2, 30)])
 def test_chroma_wavefront_matches_sequential(hmb, wmb, qp):
     from h264_fer_tpu.kernels.wavefront import wavefront_chroma
 
@@ -200,3 +200,22 @@ def test_chroma_wavefront_matches_sequential(hmb, wmb, qp):
                            jnp.asarray(modes), wmb=wmb, hmb=hmb, qp=qp)
     for g, h in zip(got, gold):
         np.testing.assert_array_equal(np.asarray(g), h)
+
+
+@pytest.mark.parametrize("hmb,wmb,qp", [(5, 7, 28), (9, 2, 24)])
+def test_i16_wavefront_tall_and_skewed(hmb, wmb, qp):
+    from h264_fer_tpu.kernels.wavefront import (
+        wavefront_i16_luma,
+        wavefront_i16_luma_skewed,
+    )
+
+    rng = np.random.default_rng(hmb * 31 + wmb)
+    y = rng.integers(0, 256, (hmb * 16, wmb * 16)).astype(np.int32)
+    modes = rng.integers(0, 3, hmb * wmb).astype(np.int32)
+    modes[:wmb] = 2
+    modes[::wmb] = np.where(modes[::wmb] == 1, 2, modes[::wmb])
+    gold = host_i16_recon(y, modes, wmb, hmb, qp)
+    for fn in (wavefront_i16_luma, wavefront_i16_luma_skewed):
+        got = fn(jnp.asarray(y), jnp.asarray(modes), wmb=wmb, hmb=hmb, qp=qp)
+        for g, h in zip(got, gold):
+            np.testing.assert_array_equal(np.asarray(g), h)
