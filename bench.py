@@ -64,10 +64,7 @@ def run_metric(which: str) -> None:
         fps = _bench_step(jax.jit(step), (y,))
         name = "intra_pipeline_1080p_fps_per_chip"
     else:
-        from h264_fer_tpu.kernels.wavefront import (
-            wavefront_chroma,
-            wavefront_i16_luma,
-        )
+        from h264_fer_tpu.kernels.wavefront import wavefront_i16_frame
         from h264_fer_tpu.ops.intra import INTRA16_TO_CHROMA_MODE
 
         cb = jnp.asarray(rng.integers(0, 256, (H // 2, W // 2)).astype(np.int32))
@@ -77,11 +74,9 @@ def run_metric(which: str) -> None:
         def step(y, cb, cr):
             out = intra_mode_decision(y, wmb=wmb, hmb=hmb, qp=QP)
             m16 = out["mode16"]
-            ry, dc, ac = wavefront_i16_luma(y, m16, wmb=wmb, hmb=hmb, qp=QP)
-            rcb, rcr, cdc, cac = wavefront_chroma(
-                cb, cr, cmap[m16], wmb=wmb, hmb=hmb, qp=QPC
-            )
-            return ry, dc, ac, rcb, rcr, cdc, cac, out["mode4"]
+            res = wavefront_i16_frame(y, cb, cr, m16, cmap[m16],
+                                      wmb=wmb, hmb=hmb, qp=QP, qpc=QPC)
+            return res + (out["mode4"],)
 
         fps = _bench_step(jax.jit(step), (y, cb, cr))
         name = "device_iframe_encode_1080p_fps_per_chip"

@@ -785,20 +785,19 @@ class Encoder:
         The host slice loop below only performs CAVLC/syntax writing."""
         import jax.numpy as jnp
 
-        from ..kernels.wavefront import wavefront_chroma, wavefront_i16_luma
+        from ..kernels.wavefront import wavefront_i16_frame
         from ..ops.intra import INTRA16_TO_CHROMA_MODE
 
         out = self.tpu_pipeline(np.asarray(self.y, np.int32))
         m16 = out["mode16"]
-        recon_y, i16dc, i16ac = wavefront_i16_luma(
-            jnp.asarray(self.y, jnp.int32), m16,
-            wmb=self.wmb, hmb=self.hmb, qp=self.qpy,
-        )
         cmodes = jnp.asarray(INTRA16_TO_CHROMA_MODE)[m16]
-        recon_cb, recon_cr, cdc, cac = wavefront_chroma(
-            jnp.asarray(self.cb, jnp.int32), jnp.asarray(self.cr, jnp.int32),
-            cmodes, wmb=self.wmb, hmb=self.hmb, qp=self.qpc,
-        )
+        (recon_y, i16dc, i16ac, recon_cb, recon_cr, cdc, cac) =             wavefront_i16_frame(
+                jnp.asarray(self.y, jnp.int32),
+                jnp.asarray(self.cb, jnp.int32),
+                jnp.asarray(self.cr, jnp.int32),
+                m16, cmodes,
+                wmb=self.wmb, hmb=self.hmb, qp=self.qpy, qpc=self.qpc,
+            )
         self._dev_i16 = {
             "mode16": np.asarray(m16),
             "cmode": np.asarray(cmodes),

@@ -72,13 +72,13 @@ def intra_mode_decision(y, wmb: int, hmb: int, qp: int, top_row=None):
     # MB source blocks: (nmb, 16, 16)
     src = y.reshape(hmb, 16, wmb, 16).transpose(0, 2, 1, 3).reshape(nmb, 16, 16)
 
-    # --- Intra16x16 p33 for every MB ------------------------------------
-    r = jnp.arange(hmb) * 16  # MB pixel origins (unpadded)
-    c = jnp.arange(wmb) * 16
-    # padded coords: origin+0 is the (-1) row/col
-    corner = yp[r[:, None], c[None, :]]  # (hmb, wmb)
-    lefts = yp[r[:, None, None] + 1 + jnp.arange(16)[None, None, :], c[None, :, None]]
-    tops = yp[r[:, None, None], c[None, :, None] + 1 + jnp.arange(16)[None, None, :]]
+    # --- Intra16x16 p33 for every MB (pure strided slicing, no gathers) ---
+    H, W = hmb * 16, wmb * 16
+    corner = yp[0 : H : 16, 0 : W : 16]  # (hmb, wmb) at (-1,-1) of each MB
+    # left columns: rows 1..H of the MB-origin columns
+    lefts = yp[1 : H + 1, 0 : W : 16].reshape(hmb, 16, wmb).transpose(0, 2, 1)
+    # top rows: MB-origin rows, cols 1..W
+    tops = yp[0 : H : 16, 1 : W + 1].reshape(hmb, wmb, 16)
     p33 = jnp.concatenate(
         [corner[..., None], lefts, tops], axis=-1
     ).reshape(nmb, 33)
@@ -105,32 +105,50 @@ def intra_mode_decision(y, wmb: int, hmb: int, qp: int, top_row=None):
     best16_satd = satd16g.min(axis=0)
 
     # --- Intra4x4 p13 for every block of every MB ------------------------
-    # absolute block origins
-    from ..ops.tables import INTRA4X4_SCAN_ORDER_XY
+    # Constructed from strided slices over the global 4x4-block grid
+    # (HB x WB blocks, raster order), then permuted raster→Z per MB.
+    from ..ops.tables import INTRA4X4_SCAN_ORDER_XY, RASTER_TO_LUMA_BLOCK
 
-    bxy = jnp.asarray(INTRA4X4_SCAN_ORDER_XY)  # (16, 2) x, y
-    bx = (mbc[:, None] * 16 + bxy[None, :, 0])  # (nmb, 16)
-    by = (mbr[:, None] * 16 + bxy[None, :, 1])
-    # padded coords: pixel (x, y) lives at yp[y+1, x+1]
-    px, py = bx + 1, by + 1
-    corner4 = yp[py - 1, px - 1]
-    left4 = yp[py[..., None] + jnp.arange(4)[None, None, :], (px - 1)[..., None]]
-    top8 = yp[(py - 1)[..., None], px[..., None] + jnp.arange(8)[None, None, :]]
-    # above-right replication rule (intra.cpp:345-370): blocks 3, 11, or
-    # x0==12 with y0>0, or beyond the frame's right edge → replicate p[8]
-    W = wmb * 16
-    blk_ids = jnp.arange(16)
-    x0s = bxy[:, 0]
-    y0s = bxy[:, 1]
-    repl = (
-        (bx + 4 >= W)
-        | ((x0s == 12) & (y0s > 0))[None, :]
-        | ((blk_ids == 3) | (blk_ids == 11))[None, :]
-    )  # (nmb, 16)
-    last = top8[..., 3]
-    ar = jnp.where(repl[..., None], last[..., None], top8[..., 4:8])
-    top8 = jnp.concatenate([top8[..., :4], ar], axis=-1)
-    p13 = jnp.concatenate([corner4[..., None], left4, top8], axis=-1)  # (nmb,16,13)
+    HB, WB = hmb * 4, wmb * 4
+    # corner: pixel (-1,-1) of each block = yp[4R, 4C]
+    corner_g = yp[0 : H : 4, 0 : W : 4]  # (HB, WB)
+    # left column: pixels (4C-1, 4R+i), i=0..3 = yp[4R+1+i, 4C]
+    left_g = yp[1 : H + 1, 0 : W : 4].reshape(HB, 4, WB).transpose(0, 2, 1)
+    # top row + above-right: pixels (4C+j, 4R-1), j=0..7 = yp[4R, 4C+1+j];
+    # j 0..3 from block C, j 4..7 from block C+1 (shifted view; the right
+    # pad of yp covers the frame edge)
+    trow_wide = yp[0 : H : 4, 1 : W + 5].reshape(HB, WB + 1, 4)
+    top4_g = trow_wide[:, :WB, :]
+    ar4_g = trow_wide[:, 1 : WB + 1, :]
+    # above-right replication rule (intra.cpp:345-370)
+    bx_g = jnp.arange(WB)[None, :] * 4  # block x origin per column
+    x0s_g = (jnp.arange(WB) % 4)[None, :] * 4  # x0 within MB
+    y0s_g = (jnp.arange(HB) % 4)[:, None] * 4
+    # Z-index of each raster position (for the blk in {3, 11} rule)
+    rast_z = jnp.asarray(RASTER_TO_LUMA_BLOCK).reshape(4, 4)
+    z_g = rast_z[jnp.arange(HB)[:, None] % 4, jnp.arange(WB)[None, :] % 4]
+    repl_g = (
+        (bx_g + 4 >= W)
+        | ((x0s_g == 12) & (y0s_g > 0))
+        | (z_g == 3)
+        | (z_g == 11)
+    )  # (HB, WB)
+    last_g = top4_g[..., 3]
+    ar_g = jnp.where(repl_g[..., None], last_g[..., None], ar4_g)
+    p13_g = jnp.concatenate(
+        [corner_g[..., None], left_g, top4_g, ar_g], axis=-1
+    )  # (HB, WB, 13)
+    # raster block grid → (nmb, 16 raster) → Z order
+    p13_r = (
+        p13_g.reshape(hmb, 4, wmb, 4, 13)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(nmb, 16, 13)
+    )
+    inv_z = jnp.asarray(np.argsort(np.asarray(RASTER_TO_LUMA_BLOCK)))
+    p13 = p13_r[:, inv_z, :]
+    top8 = p13[..., 5:13]
+    left4 = p13[..., 1:5]
+    corner4 = p13[..., 0]
 
     preds4 = intra.predict_4x4_all_modes(p13)  # (9, nmb, 16, 4, 4)
     src_blocks = _mb_blocks(src)  # (nmb, 16, 4, 4)

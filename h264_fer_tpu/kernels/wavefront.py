@@ -429,3 +429,263 @@ def wavefront_i16_luma_skewed(y_src, modes, wmb: int, hmb: int, qp: int):
     dcg = dc_out[rg + cg, jnp.broadcast_to(rg, (hmb, wmb))].reshape(nmb, 16)
     acg = ac_out[rg + cg, jnp.broadcast_to(rg, (hmb, wmb))].reshape(nmb, 16, 15)
     return frame, dcg, acg
+
+
+@functools.partial(jax.jit, static_argnames=("wmb", "hmb", "qp"))
+def wavefront_chroma_skewed(cb_src, cr_src, modes, wmb: int, hmb: int, qp: int):
+    """Skewed-layout chroma wavefront (identical outputs to wavefront_chroma)."""
+    nmb = wmb * hmb
+    ndiag = hmb + wmb - 1
+    dmax = hmb
+
+    def to_grid(p):
+        return p.reshape(hmb, 8, wmb, 8).transpose(0, 2, 1, 3)
+
+    src = jnp.stack([to_grid(cb_src), to_grid(cr_src)])  # (2, hmb, wmb, 8, 8)
+    modes_grid = modes.reshape(hmb, wmb)
+    slot = jnp.arange(dmax)
+
+    ds = jnp.arange(ndiag)[:, None]
+    rr = jnp.broadcast_to(slot[None, :], (ndiag, dmax))
+    cc_all = ds - rr
+    val_all = (rr < hmb) & (cc_all >= 0) & (cc_all < wmb)
+
+    def skew(grid, lead=0):
+        rows = []
+        for r in range(min(hmb, dmax)):
+            g = grid[(slice(None),) * lead + (r,)]
+            pad = [(0, 0)] * lead + [(r, ndiag - wmb - r)] + [(0, 0)] * (g.ndim - 1 - lead)
+            rows.append(jnp.pad(g, pad))
+        return jnp.stack(rows, axis=lead + 1)
+
+    src_skew = skew(src, lead=1)       # (2, ndiag, dmax, 8, 8)
+    modes_skew = skew(modes_grid)      # (ndiag, dmax)
+
+    def blocks_of(mb):
+        b = mb.reshape(*mb.shape[:-2], 2, 4, 2, 4)
+        b = jnp.moveaxis(b, -3, -2)
+        return b.reshape(*mb.shape[:-2], 4, 4, 4)
+
+    def mb_of(blocks):
+        b = blocks.reshape(*blocks.shape[:-3], 2, 2, 4, 4)
+        b = jnp.moveaxis(b, -2, -3)
+        return b.reshape(*blocks.shape[:-3], 8, 8)
+
+    def step(d, carry):
+        recon, dc_out, ac_out = carry  # recon: (2, ndiag+2, dmax, 8, 8)
+        row_valid = jax.lax.dynamic_slice(val_all, (d, 0), (1, dmax))[0]
+        cs = d - slot
+        left_ok = (cs > 0) & row_valid
+        top_ok = (slot > 0) & row_valid
+        corner_ok = left_ok & top_ok
+
+        prev1 = jax.lax.dynamic_slice(
+            recon, (0, d + 1, 0, 0, 0), (2, 1, dmax, 8, 8))[:, 0]
+        prev2 = jax.lax.dynamic_slice(
+            recon, (0, d, 0, 0, 0), (2, 1, dmax, 8, 8))[:, 0]
+        lcol = jnp.where(left_ok[None, :, None], prev1[:, :, :, 7], -1)
+        top_sh = jnp.roll(prev1, 1, axis=1)
+        trow = jnp.where(top_ok[None, :, None], top_sh[:, :, 7, :], -1)
+        corner_sh = jnp.roll(prev2, 1, axis=1)
+        corner = jnp.where(corner_ok[None, :], corner_sh[:, :, 7, 7], -1)
+        p17 = jnp.concatenate([corner[..., None], lcol, trow], axis=-1)
+
+        m = jax.lax.dynamic_slice(modes_skew, (d, 0), (1, dmax))[0]
+        preds = intra.predict_chroma_all_modes(p17)  # (4, 2, dmax, 8, 8)
+        pred = jnp.take_along_axis(
+            preds, m[None, None, :, None, None], axis=0)[0]
+
+        srcs = jax.lax.dynamic_slice(
+            src_skew, (0, d, 0, 0, 0), (2, 1, dmax, 8, 8))[:, 0]
+        diff = blocks_of(srcs - pred)
+        q = transform.quantize_residual(
+            transform.forward_transform_4x4(diff), qp, True)
+        dc2 = q[..., 0, 0].reshape(2, dmax, 2, 2)
+        qdc = transform.forward_dc_chroma(dc2, qp)
+        dcv = transform.inverse_dc_chroma(qdc, qp)
+        ac_list = transform.zigzag_scan(q)[..., 1:]
+        full = jnp.concatenate(
+            [dcv.reshape(2, dmax, 4)[..., None], ac_list], axis=-1)
+        res = transform.inverse_residual(
+            transform.zigzag_unscan(full), qp, True)
+        out_mb = jnp.clip(pred + mb_of(res), 0, 255)
+
+        recon = jax.lax.dynamic_update_slice(
+            recon, out_mb[:, None], (0, d + 2, 0, 0, 0))
+        dc_out = jax.lax.dynamic_update_slice(
+            dc_out, qdc.reshape(2, dmax, 4)[:, None], (0, d, 0, 0))
+        ac_out = jax.lax.dynamic_update_slice(
+            ac_out, ac_list[:, None], (0, d, 0, 0, 0))
+        return recon, dc_out, ac_out
+
+    recon0 = jnp.zeros((2, ndiag + 2, dmax, 8, 8), jnp.int32)
+    dc0 = jnp.zeros((2, ndiag, dmax, 4), jnp.int32)
+    ac0 = jnp.zeros((2, ndiag, dmax, 4, 15), jnp.int32)
+    recon, dc_out, ac_out = jax.lax.fori_loop(0, ndiag, step, (recon0, dc0, ac0))
+
+    rg = jnp.arange(hmb)[:, None]
+    cg = jnp.arange(wmb)[None, :]
+    rb = jnp.broadcast_to(rg, (hmb, wmb))
+    grid = recon[:, 2 + rg + cg, rb]  # (2, hmb, wmb, 8, 8)? advanced adjacency
+
+    def from_grid(g):
+        return g.transpose(0, 2, 1, 3).reshape(hmb * 8, wmb * 8)
+
+    cbp = from_grid(grid[0])
+    crp = from_grid(grid[1])
+    dcg = dc_out[:, rg + cg, rb].reshape(2, nmb, 4)
+    acg = ac_out[:, rg + cg, rb].reshape(2, nmb, 4, 15)
+    return cbp, crp, dcg, acg
+
+
+@functools.partial(jax.jit, static_argnames=("wmb", "hmb", "qp", "qpc"))
+def wavefront_i16_frame(y_src, cb_src, cr_src, modes, cmodes,
+                        wmb: int, hmb: int, qp: int, qpc: int):
+    """Fused luma+chroma I16 wavefront: one diagonal loop reconstructs all
+    three planes (halves the per-step dispatch overhead of running the two
+    skewed wavefronts back to back). Outputs match the separate kernels.
+    """
+    nmb = wmb * hmb
+    ndiag = hmb + wmb - 1
+    dmax = hmb
+
+    from ..ops.tables import INTRA4X4_SCAN_ORDER_XY
+
+    bxy = INTRA4X4_SCAN_ORDER_XY
+    zx = bxy[:, 0] // 4
+    zy = bxy[:, 1] // 4
+
+    ysrc_grid = y_src.reshape(hmb, 16, wmb, 16).transpose(0, 2, 1, 3)
+    csrc = jnp.stack([
+        cb_src.reshape(hmb, 8, wmb, 8).transpose(0, 2, 1, 3),
+        cr_src.reshape(hmb, 8, wmb, 8).transpose(0, 2, 1, 3),
+    ])
+    modes_grid = modes.reshape(hmb, wmb)
+    cmodes_grid = cmodes.reshape(hmb, wmb)
+    slot = jnp.arange(dmax)
+
+    ds = jnp.arange(ndiag)[:, None]
+    rr = jnp.broadcast_to(slot[None, :], (ndiag, dmax))
+    cc_all = ds - rr
+    val_all = (rr < hmb) & (cc_all >= 0) & (cc_all < wmb)
+
+    def skew(grid, lead=0):
+        rows = []
+        for r in range(hmb):
+            g = grid[(slice(None),) * lead + (r,)]
+            pad = [(0, 0)] * lead + [(r, ndiag - wmb - r)] + [(0, 0)] * (g.ndim - 1 - lead)
+            rows.append(jnp.pad(g, pad))
+        return jnp.stack(rows, axis=lead + 1)
+
+    ysk = skew(ysrc_grid)
+    csk = skew(csrc, lead=1)
+    msk = skew(modes_grid)
+    cmsk = skew(cmodes_grid)
+
+    def mb_blocks(mb):
+        b = mb.reshape(*mb.shape[:-2], 2, 2, 4, 2, 2, 4)
+        b = jnp.moveaxis(b, (-6, -3, -5, -2), (-6, -5, -4, -3))
+        return b.reshape(*mb.shape[:-2], 16, 4, 4)
+
+    def blocks_mb(blocks):
+        b = blocks.reshape(*blocks.shape[:-3], 2, 2, 2, 2, 4, 4)
+        b = jnp.moveaxis(b, (-6, -5, -4, -3), (-6, -3, -5, -2))
+        return b.reshape(*blocks.shape[:-3], 16, 16)
+
+    def cblocks_of(mb):
+        b = mb.reshape(*mb.shape[:-2], 2, 4, 2, 4)
+        b = jnp.moveaxis(b, -3, -2)
+        return b.reshape(*mb.shape[:-2], 4, 4, 4)
+
+    def cmb_of(blocks):
+        b = blocks.reshape(*blocks.shape[:-3], 2, 2, 4, 4)
+        b = jnp.moveaxis(b, -2, -3)
+        return b.reshape(*blocks.shape[:-3], 8, 8)
+
+    def step(d, carry):
+        yrec, crec, dc_out, ac_out, cdc_out, cac_out = carry
+        row_valid = jax.lax.dynamic_slice(val_all, (d, 0), (1, dmax))[0]
+        cs = d - slot
+        left_ok = (cs > 0) & row_valid
+        top_ok = (slot > 0) & row_valid
+        corner_ok = left_ok & top_ok
+
+        # --- luma ---
+        prev1 = jax.lax.dynamic_slice(yrec, (d + 1, 0, 0, 0), (1, dmax, 16, 16))[0]
+        prev2 = jax.lax.dynamic_slice(yrec, (d, 0, 0, 0), (1, dmax, 16, 16))[0]
+        lcol = jnp.where(left_ok[:, None], prev1[:, :, 15], -1)
+        trow = jnp.where(top_ok[:, None], jnp.roll(prev1, 1, axis=0)[:, 15, :], -1)
+        corner = jnp.where(corner_ok, jnp.roll(prev2, 1, axis=0)[:, 15, 15], -1)
+        p33 = jnp.concatenate([corner[:, None], lcol, trow], axis=-1)
+        m = jax.lax.dynamic_slice(msk, (d, 0), (1, dmax))[0]
+        preds = intra.predict_16x16_all_modes(p33)
+        pred = jnp.take_along_axis(preds, m[None, :, None, None], axis=0)[0]
+        srcs = jax.lax.dynamic_slice(ysk, (d, 0, 0, 0), (1, dmax, 16, 16))[0]
+        q = transform.quantize_residual(
+            transform.forward_transform_4x4(mb_blocks(srcs - pred)), qp, True)
+        dc = jnp.zeros((dmax, 4, 4), jnp.int32).at[:, zy, zx].set(q[:, :, 0, 0])
+        qdc = transform.forward_dc_luma(dc, qp)
+        i16dc_list = transform.zigzag_scan(qdc)
+        ac_list = transform.zigzag_scan(q)[:, :, 1:]
+        dcv = transform.inverse_dc_luma(transform.zigzag_unscan(i16dc_list), qp)
+        full = jnp.concatenate([dcv[:, zy, zx][..., None], ac_list], axis=-1)
+        res = transform.inverse_residual(transform.zigzag_unscan(full), qp, True)
+        out_y = jnp.clip(pred + blocks_mb(res), 0, 255)
+        yrec = jax.lax.dynamic_update_slice(yrec, out_y[None], (d + 2, 0, 0, 0))
+        dc_out = jax.lax.dynamic_update_slice(dc_out, i16dc_list[None], (d, 0, 0))
+        ac_out = jax.lax.dynamic_update_slice(ac_out, ac_list[None], (d, 0, 0, 0))
+
+        # --- chroma ---
+        cp1 = jax.lax.dynamic_slice(crec, (0, d + 1, 0, 0, 0), (2, 1, dmax, 8, 8))[:, 0]
+        cp2 = jax.lax.dynamic_slice(crec, (0, d, 0, 0, 0), (2, 1, dmax, 8, 8))[:, 0]
+        clcol = jnp.where(left_ok[None, :, None], cp1[:, :, :, 7], -1)
+        ctrow = jnp.where(top_ok[None, :, None], jnp.roll(cp1, 1, axis=1)[:, :, 7, :], -1)
+        ccorner = jnp.where(corner_ok[None, :], jnp.roll(cp2, 1, axis=1)[:, :, 7, 7], -1)
+        p17 = jnp.concatenate([ccorner[..., None], clcol, ctrow], axis=-1)
+        cm = jax.lax.dynamic_slice(cmsk, (d, 0), (1, dmax))[0]
+        cpreds = intra.predict_chroma_all_modes(p17)
+        cpred = jnp.take_along_axis(cpreds, cm[None, None, :, None, None], axis=0)[0]
+        csrcs = jax.lax.dynamic_slice(csk, (0, d, 0, 0, 0), (2, 1, dmax, 8, 8))[:, 0]
+        cq = transform.quantize_residual(
+            transform.forward_transform_4x4(cblocks_of(csrcs - cpred)), qpc, True)
+        cdc2 = cq[..., 0, 0].reshape(2, dmax, 2, 2)
+        cqdc = transform.forward_dc_chroma(cdc2, qpc)
+        cdcv = transform.inverse_dc_chroma(cqdc, qpc)
+        cac_list = transform.zigzag_scan(cq)[..., 1:]
+        cfull = jnp.concatenate(
+            [cdcv.reshape(2, dmax, 4)[..., None], cac_list], axis=-1)
+        cres = transform.inverse_residual(transform.zigzag_unscan(cfull), qpc, True)
+        out_c = jnp.clip(cpred + cmb_of(cres), 0, 255)
+        crec = jax.lax.dynamic_update_slice(crec, out_c[:, None], (0, d + 2, 0, 0, 0))
+        cdc_out = jax.lax.dynamic_update_slice(
+            cdc_out, cqdc.reshape(2, dmax, 4)[:, None], (0, d, 0, 0))
+        cac_out = jax.lax.dynamic_update_slice(
+            cac_out, cac_list[:, None], (0, d, 0, 0, 0))
+        return yrec, crec, dc_out, ac_out, cdc_out, cac_out
+
+    carry0 = (
+        jnp.zeros((ndiag + 2, dmax, 16, 16), jnp.int32),
+        jnp.zeros((2, ndiag + 2, dmax, 8, 8), jnp.int32),
+        jnp.zeros((ndiag, dmax, 16), jnp.int32),
+        jnp.zeros((ndiag, dmax, 16, 15), jnp.int32),
+        jnp.zeros((2, ndiag, dmax, 4), jnp.int32),
+        jnp.zeros((2, ndiag, dmax, 4, 15), jnp.int32),
+    )
+    yrec, crec, dc_out, ac_out, cdc_out, cac_out = jax.lax.fori_loop(
+        0, ndiag, step, carry0)
+
+    rg = jnp.arange(hmb)[:, None]
+    cg = jnp.arange(wmb)[None, :]
+    rb = jnp.broadcast_to(rg, (hmb, wmb))
+    frame = yrec[2 + rg + cg, rb].transpose(0, 2, 1, 3).reshape(hmb * 16, wmb * 16)
+    cgrid = crec[:, 2 + rg + cg, rb]
+    cbp = cgrid[0].transpose(0, 2, 1, 3).reshape(hmb * 8, wmb * 8)
+    crp = cgrid[1].transpose(0, 2, 1, 3).reshape(hmb * 8, wmb * 8)
+    return (
+        frame,
+        dc_out[rg + cg, rb].reshape(nmb, 16),
+        ac_out[rg + cg, rb].reshape(nmb, 16, 15),
+        cbp, crp,
+        cdc_out[:, rg + cg, rb].reshape(2, nmb, 4),
+        cac_out[:, rg + cg, rb].reshape(2, nmb, 4, 15),
+    )
