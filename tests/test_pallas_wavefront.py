@@ -1,0 +1,43 @@
+"""Pallas grid-sequential wavefront vs the XLA fori_loop wavefront.
+
+Runs in interpreter mode on the CPU test mesh (conftest forces cpu);
+on TPU the same code compiles to a single Mosaic kernel. Outputs must be
+bit-identical to kernels/wavefront.py, which is itself bit-identical to the
+host encoder's sequential reconstruction (test_wavefront.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from h264_fer_tpu.codec.tpu_intra import intra_mode_decision
+from h264_fer_tpu.kernels.wavefront import wavefront_i16_frame
+from h264_fer_tpu.kernels.wavefront_pallas import pallas_i16_frame
+from h264_fer_tpu.ops.intra import INTRA16_TO_CHROMA_MODE
+from h264_fer_tpu.ops.transform import chroma_qp
+
+
+@pytest.mark.parametrize("wh", [(176, 144), (80, 176)])  # wide and tall grids
+@pytest.mark.parametrize("qp", [10, 26, 40])
+def test_pallas_i16_frame_matches_xla(wh, qp):
+    W, H = wh
+    wmb, hmb = W // 16, H // 16
+    qpc = chroma_qp(qp)
+    rng = np.random.default_rng(7)
+    y = jnp.asarray(rng.integers(0, 256, (H, W)).astype(np.int32))
+    cb = jnp.asarray(rng.integers(0, 256, (H // 2, W // 2)).astype(np.int32))
+    cr = jnp.asarray(rng.integers(0, 256, (H // 2, W // 2)).astype(np.int32))
+
+    m16 = intra_mode_decision(y, wmb=wmb, hmb=hmb, qp=qp)["mode16"]
+    cmodes = jnp.asarray(INTRA16_TO_CHROMA_MODE)[m16]
+
+    ref = wavefront_i16_frame(y, cb, cr, m16, cmodes,
+                              wmb=wmb, hmb=hmb, qp=qp, qpc=qpc)
+    got = pallas_i16_frame(y, cb, cr, m16, cmodes,
+                           wmb=wmb, hmb=hmb, qp=qp, qpc=qpc)
+    names = ("frame", "i16dc", "ac", "cb", "cr", "cdc", "cac")
+    for name, r, g in zip(names, ref, got):
+        np.testing.assert_array_equal(
+            np.asarray(r), np.asarray(g), err_msg=f"{name} @ {W}x{H} qp{qp}"
+        )
