@@ -534,3 +534,346 @@ def pallas_i16_frame(y_src, cb_src, cr_src, modes, cmodes,
     cdc = jnp.moveaxis(unskew(qcdc).reshape(nmb, 2, 4), 1, 0)
 
     return frame, i16dc, ac, cbf, crf, cdc, cac
+
+
+# ---------------------------------------------------------------------------
+# Intra_4x4 luma wavefront (knight-move waves d = 2R + C over the global
+# 4x4-block grid; kernels/wavefront.py:wavefront_i4x4_luma is the XLA
+# reference implementation, ~1022 sequential fori_loop steps at 1080p).
+#
+# DMA-byte economy (this platform's Pallas DMA streams at ~1 GB/s): the
+# kernel reads uint8 skewed source blocks + int32 modes and writes ONLY the
+# reconstructed pixels as uint8. The quantized levels are recomputed
+# afterwards in bulk XLA (i4x4_levels_from_recon below): once recon is
+# known, every block's prediction/transform/quant is independent.
+
+
+def _i4_kernel_body(WB, HB, qp,
+                    msk_ref, src_ref,
+                    rec_ref,
+                    rcol_s, brow1_s, brow2_s, cor3_s):
+    S = HB
+    d = pl.program_id(0)
+
+    slotv = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)  # absolute row R
+    C = d - 2 * slotv
+    valid = (C >= 0) & (C < WB)
+    left_ok = valid & (C > 0)
+    top_ok = valid & (slotv > 0)
+    corner_ok = left_ok & top_ok
+
+    rcol_prev = rcol_s[...]   # (4, S) right cols of wave d-1
+    brow1 = brow1_s[...]      # (4, S) bottom rows of wave d-1
+    brow2 = brow2_s[...]      # (4, S) bottom rows of wave d-2
+    cor3 = cor3_s[...]        # (1, S) bottom-right px of wave d-3
+
+    lcol = jnp.where(left_ok, rcol_prev, -1)                  # (4, S) y=0..3
+    trow = jnp.where(top_ok, _roll_lanes(brow2, 1), -1)       # (4, S) x=0..3
+    corner = jnp.where(corner_ok, _roll_lanes(cor3, 1), -1)   # (1, S)
+    # above-right with the replication rule (intra.cpp:345-370)
+    bx = C % 4
+    by = slotv % 4
+    repl = (
+        (C + 1 >= WB)
+        | ((bx == 3) & (by > 0))
+        | ((bx == 1) & ((by == 1) | (by == 3)))
+    )
+    ar_raw = _roll_lanes(brow1, 1)                            # (4, S) x=4..7
+    last = trow[3:4]
+    ar = jnp.where(repl | ~top_ok, last, ar_raw)
+    ar = jnp.where(top_ok, ar, -1)
+
+    def P(x, y):
+        """p(x, y) sample rows, each (1, S). Mirrors ops/intra._p4, where
+        x==-1 selects p[y+1] — so (x=-1, y=-1) is the corner sample, and
+        directional index arithmetic can also drive the first argument to
+        -1 with y==-1 (e.g. VR's z==1 at (1,1)), again the corner."""
+        if x == -1 and y == -1:
+            return corner
+        if x == -1:
+            return lcol[y : y + 1]
+        assert y == -1 and x >= 0
+        if x < 4:
+            return trow[x : x + 1]
+        return ar[x - 4 : x - 3]
+
+    def grid4(cells):
+        """rows-of-cells [[(1,S)×4]×4] → (4, 4, S)."""
+        return jnp.concatenate(
+            [jnp.concatenate(r, axis=0)[None] for r in cells], axis=0
+        )
+
+    # ---- the 9 Intra_4x4 modes (norm 8.3.1.2.1-9; ops/intra.py is the
+    # sample-layout reference implementation) --------------------------------
+    preds = []
+    # 0 V
+    vrow = jnp.concatenate([P(x, -1) for x in range(4)], axis=0)  # (4, S)
+    preds.append(jnp.broadcast_to(vrow[None], (4, 4, S)))
+    # 1 H
+    hcol = jnp.concatenate([P(-1, y) for y in range(4)], axis=0)
+    preds.append(jnp.broadcast_to(hcol[:, None], (4, 4, S)))
+    # 2 DC
+    top4 = sum(P(x, -1) for x in range(4))
+    left4 = sum(P(-1, y) for y in range(4))
+    dcv = jnp.where(
+        corner_ok,
+        (top4 + left4 + 4) >> 3,
+        jnp.where(
+            left_ok,
+            (left4 + 2) >> 2,
+            jnp.where(top_ok, (top4 + 2) >> 2, 128),
+        ),
+    )
+    preds.append(jnp.broadcast_to(dcv[None], (4, 4, S)))
+    # 3 DDL
+    cells = []
+    for y in range(4):
+        row = []
+        for x in range(4):
+            if x == 3 and y == 3:
+                row.append((P(6, -1) + 3 * P(7, -1) + 2) >> 2)
+            else:
+                row.append(
+                    (P(x + y, -1) + (P(x + y + 1, -1) << 1)
+                     + P(x + y + 2, -1) + 2) >> 2
+                )
+        cells.append(row)
+    preds.append(grid4(cells))
+    # 4 DDR
+    cells = []
+    for y in range(4):
+        row = []
+        for x in range(4):
+            if x > y:
+                v = (P(x - y - 2, -1) + (P(x - y - 1, -1) << 1)
+                     + P(x - y, -1) + 2) >> 2
+            elif x < y:
+                v = (P(-1, y - x - 2) + (P(-1, y - x - 1) << 1)
+                     + P(-1, y - x) + 2) >> 2
+            else:
+                v = (P(0, -1) + (corner << 1) + P(-1, 0) + 2) >> 2
+            row.append(v)
+        cells.append(row)
+    preds.append(grid4(cells))
+    # 5 VR
+    cells = []
+    for y in range(4):
+        row = []
+        for x in range(4):
+            z = 2 * x - y
+            if z in (0, 2, 4, 6):
+                v = (P(x - (y >> 1) - 1, -1) + P(x - (y >> 1), -1) + 1) >> 1
+            elif z in (1, 3, 5):
+                v = (P(x - (y >> 1) - 2, -1)
+                     + (P(x - (y >> 1) - 1, -1) << 1)
+                     + P(x - (y >> 1), -1) + 2) >> 2
+            elif z == -1:
+                v = (P(-1, 0) + (corner << 1) + P(0, -1) + 2) >> 2
+            else:
+                v = (P(-1, y - 1) + (P(-1, y - 2) << 1)
+                     + P(-1, y - 3) + 2) >> 2
+            row.append(v)
+        cells.append(row)
+    preds.append(grid4(cells))
+    # 6 HD
+    cells = []
+    for y in range(4):
+        row = []
+        for x in range(4):
+            z = 2 * y - x
+            if z in (0, 2, 4, 6):
+                v = (P(-1, y - (x >> 1) - 1) + P(-1, y - (x >> 1)) + 1) >> 1
+            elif z in (1, 3, 5):
+                v = (P(-1, y - (x >> 1) - 2)
+                     + (P(-1, y - (x >> 1) - 1) << 1)
+                     + P(-1, y - (x >> 1)) + 2) >> 2
+            elif z == -1:
+                v = (P(-1, 0) + (corner << 1) + P(0, -1) + 2) >> 2
+            else:
+                v = (P(x - 1, -1) + (P(x - 2, -1) << 1)
+                     + P(x - 3, -1) + 2) >> 2
+            row.append(v)
+        cells.append(row)
+    preds.append(grid4(cells))
+    # 7 VL
+    cells = []
+    for y in range(4):
+        row = []
+        for x in range(4):
+            if y in (0, 2):
+                v = (P(x + (y >> 1), -1) + P(x + (y >> 1) + 1, -1) + 1) >> 1
+            else:
+                v = (P(x + (y >> 1), -1)
+                     + (P(x + (y >> 1) + 1, -1) << 1)
+                     + P(x + (y >> 1) + 2, -1) + 2) >> 2
+            row.append(v)
+        cells.append(row)
+    preds.append(grid4(cells))
+    # 8 HU
+    cells = []
+    for y in range(4):
+        row = []
+        for x in range(4):
+            z = x + 2 * y
+            if z in (0, 2, 4):
+                v = (P(-1, y + (x >> 1)) + P(-1, y + (x >> 1) + 1) + 1) >> 1
+            elif z in (1, 3):
+                v = (P(-1, y + (x >> 1))
+                     + (P(-1, y + (x >> 1) + 1) << 1)
+                     + P(-1, y + (x >> 1) + 2) + 2) >> 2
+            elif z == 5:
+                v = (P(-1, 2) + 3 * P(-1, 3) + 2) >> 2
+            else:
+                v = P(-1, 3) + jnp.zeros((1, S), jnp.int32)
+            row.append(v)
+        cells.append(row)
+    preds.append(grid4(cells))
+
+    m = msk_ref[0]  # (1, S)
+    pred = preds[8]
+    for k in range(7, -1, -1):
+        pred = jnp.where(m[None] == k, preds[k], pred)
+
+    # ---- residual: fwd DCT + quant (NO DC bypass for Intra_4x4) -----------
+    src = src_ref[0].astype(jnp.int32)  # (4, 4, S)
+    q = _quant_spatial(_fwd_transform(src - pred, 1, 1), qp, 1, 1)
+    res = _inv_transform(_scale_spatial(q, qp, 1, 1), 1, 1)
+    recon = jnp.clip(pred + res, 0, 255)
+
+    rec_ref[0] = recon.astype(jnp.uint8)
+
+    # ---- carry update (corner snapshot before the generation shift) -------
+    cor3_s[...] = brow2[3:4]
+    brow2_s[...] = brow1
+    brow1_s[...] = recon[3]
+    rcol_s[...] = recon[:, 3]
+
+
+@functools.partial(jax.jit, static_argnames=("wmb", "hmb", "qp"))
+def pallas_i4x4_luma(y_src, modes, wmb: int, hmb: int, qp: int):
+    """Drop-in replacement for kernels.wavefront.wavefront_i4x4_luma.
+
+    Returns (recon (H, W) int32, levels (nmb, 16, 16) zig-zag lists) —
+    bit-identical outputs; levels are recomputed in bulk XLA from the
+    kernel's recon output (i4x4_levels_from_recon).
+    """
+    from ..ops.tables import RASTER_TO_LUMA_BLOCK
+
+    nmb = wmb * hmb
+    HB, WB = 4 * hmb, 4 * wmb
+    nwave = 2 * (HB - 1) + WB
+    S = HB
+
+    # per-global-block modes
+    rast_to_z = jnp.asarray(RASTER_TO_LUMA_BLOCK)
+    Rg, Cg = jnp.meshgrid(jnp.arange(HB), jnp.arange(WB), indexing="ij")
+    z_idx = rast_to_z[(Rg % 4) * 4 + (Cg % 4)]
+    mode_grid = modes[(Rg // 4) * wmb + (Cg // 4), z_idx]  # (HB, WB)
+
+    # skew with factor 2: sk[d, R] = grid[R, d - 2R]
+    src_grid = y_src.reshape(HB, 4, WB, 4).transpose(0, 2, 1, 3)  # (HB,WB,4,4)
+
+    def skew2(grid):
+        rows = []
+        for r in range(HB):
+            pad = [(2 * r, nwave - WB - 2 * r)] + [(0, 0)] * (grid.ndim - 2)
+            rows.append(jnp.pad(grid[r], pad))
+        return jnp.stack(rows, axis=1)  # (nwave, HB, …)
+
+    src_sk = skew2(src_grid).transpose(0, 2, 3, 1).astype(jnp.uint8)
+    msk = skew2(mode_grid)[:, None, :]  # (nwave, 1, S)
+
+    kernel = functools.partial(_i4_kernel_body, WB, HB, qp)
+
+    def spec(shape, ms=pltpu.VMEM):
+        return pl.BlockSpec(
+            (1,) + shape,
+            lambda d: (d,) + (0,) * len(shape),
+            memory_space=ms,
+        )
+
+    interpret = jax.default_backend() != "tpu"
+    rec_sk = pl.pallas_call(
+        kernel,
+        grid=(nwave,),
+        in_specs=[spec((1, S)), spec((4, 4, S))],
+        out_specs=spec((4, 4, S)),
+        out_shape=jax.ShapeDtypeStruct((nwave, 4, 4, S), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((4, S), jnp.int32),   # rcol (d-1)
+            pltpu.VMEM((4, S), jnp.int32),   # brow (d-1)
+            pltpu.VMEM((4, S), jnp.int32),   # brow (d-2)
+            pltpu.VMEM((1, S), jnp.int32),   # corner (d-3)
+        ],
+        interpret=interpret,
+    )(msk, src_sk)
+
+    # unskew: grid[R, C] = sk[2R + C, :, :, R]
+    rg = jnp.arange(HB)[:, None]
+    cg = jnp.arange(WB)[None, :]
+    rb = jnp.broadcast_to(rg, (HB, WB))
+    rec_grid = jnp.moveaxis(rec_sk, -1, 1)[2 * rg + cg, rb].astype(jnp.int32)
+    frame = rec_grid.transpose(0, 2, 1, 3).reshape(HB * 4, WB * 4)
+    levels = i4x4_levels_from_recon(y_src, frame, modes, wmb=wmb, hmb=hmb, qp=qp)
+    return frame, levels
+
+
+@functools.partial(jax.jit, static_argnames=("wmb", "hmb", "qp"))
+def i4x4_levels_from_recon(y_src, recon, modes, wmb: int, hmb: int, qp: int):
+    """Quantized levels of an all-Intra_4x4 frame, given its reconstruction.
+
+    Once the reconstructed frame is known, every block's prediction reads
+    only (already final) recon neighbors, so the whole frame's levels are
+    one batched XLA computation (same p13 strided-slice construction as
+    codec/tpu_intra.intra_mode_decision, but over the RECON plane).
+    Returns (nmb, 16, 16) zig-zag lists in Z-scan block order.
+    """
+    from ..ops import intra, transform
+    from ..ops.tables import RASTER_TO_LUMA_BLOCK
+
+    nmb = wmb * hmb
+    HB, WB = 4 * hmb, 4 * wmb
+    H, W = HB * 4, WB * 4
+
+    yp = jnp.pad(recon, ((1, 0), (1, 4)), constant_values=-1)
+    corner_g = yp[0:H:4, 0:W:4]
+    left_g = yp[1 : H + 1, 0:W:4].reshape(HB, 4, WB).transpose(0, 2, 1)
+    trow_wide = yp[0:H:4, 1 : W + 5].reshape(HB, WB + 1, 4)
+    top4_g = trow_wide[:, :WB, :]
+    ar4_g = trow_wide[:, 1 : WB + 1, :]
+    bx_g = jnp.arange(WB)[None, :] % 4
+    by_g = (jnp.arange(HB)[:, None] % 4) * jnp.ones((1, WB), jnp.int32)
+    cg = jnp.arange(WB)[None, :] * jnp.ones((HB, 1), jnp.int32)
+    repl_g = (
+        (cg + 1 >= WB)
+        | ((bx_g == 3) & (by_g > 0))
+        | ((bx_g == 1) & ((by_g == 1) | (by_g == 3)))
+    )
+    # above-right valid only when the top row exists; replication uses its
+    # last sample (handled by predict_4x4's -1 convention otherwise)
+    last_g = top4_g[..., 3]
+    ar_g = jnp.where(repl_g[..., None], last_g[..., None], ar4_g)
+    ar_g = jnp.where(top4_g[..., 0:1] == -1, -1, ar_g)
+    p13_g = jnp.concatenate(
+        [corner_g[..., None], left_g, top4_g, ar_g], axis=-1
+    )  # (HB, WB, 13)
+
+    rast_to_z = jnp.asarray(RASTER_TO_LUMA_BLOCK)
+    Rg, Cg = jnp.meshgrid(jnp.arange(HB), jnp.arange(WB), indexing="ij")
+    mode_grid = modes[(Rg // 4) * wmb + (Cg // 4), rast_to_z[(Rg % 4) * 4 + (Cg % 4)]]
+
+    preds = intra.predict_4x4_all_modes(p13_g)  # (9, HB, WB, 4, 4)
+    pred = jnp.take_along_axis(
+        preds, mode_grid[None, :, :, None, None], axis=0
+    )[0]
+    src_grid = y_src.reshape(HB, 4, WB, 4).transpose(0, 2, 1, 3)
+    q = transform.quantize_residual(
+        transform.forward_transform_4x4(src_grid - pred), qp, False
+    )
+    lists = transform.zigzag_scan(q)  # (HB, WB, 16)
+
+    # regroup (HB, WB) raster blocks → (nmb, 16 Z-scan blocks)
+    lists_mb = lists.reshape(hmb, 4, wmb, 4, 16).transpose(0, 2, 1, 3, 4)
+    lists_mb = lists_mb.reshape(nmb, 16, 16)  # raster block order in MB
+    inv_z = jnp.asarray(np.argsort(np.asarray(RASTER_TO_LUMA_BLOCK)))
+    return lists_mb[:, inv_z, :]

@@ -41,3 +41,23 @@ def test_pallas_i16_frame_matches_xla(wh, qp):
         np.testing.assert_array_equal(
             np.asarray(r), np.asarray(g), err_msg=f"{name} @ {W}x{H} qp{qp}"
         )
+
+
+@pytest.mark.parametrize("wh", [(176, 144), (80, 176)])
+@pytest.mark.parametrize("qp", [10, 28])
+def test_pallas_i4x4_matches_xla(wh, qp):
+    from h264_fer_tpu.kernels.wavefront import wavefront_i4x4_luma
+    from h264_fer_tpu.kernels.wavefront_pallas import pallas_i4x4_luma
+
+    W, H = wh
+    wmb, hmb = W // 16, H // 16
+    rng = np.random.default_rng(11)
+    y = jnp.asarray(rng.integers(0, 256, (H, W)).astype(np.int32))
+    m4 = intra_mode_decision(y, wmb=wmb, hmb=hmb, qp=qp)["mode4"]
+
+    ref = wavefront_i4x4_luma(y, m4, wmb=wmb, hmb=hmb, qp=qp)
+    got = pallas_i4x4_luma(y, m4, wmb=wmb, hmb=hmb, qp=qp)
+    for name, r, g in zip(("frame", "levels"), ref, got):
+        np.testing.assert_array_equal(
+            np.asarray(r), np.asarray(g), err_msg=f"{name} @ {W}x{H} qp{qp}"
+        )
