@@ -52,8 +52,12 @@ def _satd_blocks(diff_blocks, qp: int):
     return jnp.abs(q).sum(axis=(-2, -1))
 
 
-@functools.partial(jax.jit, static_argnames=("wmb", "hmb", "qp"))
-def intra_mode_decision(y, wmb: int, hmb: int, qp: int, top_row=None):
+@functools.partial(
+    jax.jit,
+    static_argnames=("wmb", "hmb", "qp", "modes_only", "frame_hmb"))
+def intra_mode_decision(y, wmb: int, hmb: int, qp: int, top_row=None,
+                        modes_only: bool = False,
+                        frame_hmb: int | None = None):
     """Whole-frame intra mode pre-decision on the source frame.
 
     y: (H, W) int32 luma. `top_row`: optional (W,) int32 halo — the last
@@ -62,6 +66,8 @@ def intra_mode_decision(y, wmb: int, hmb: int, qp: int, top_row=None):
     and their SATD totals.
     """
     nmb = wmb * hmb
+    fh = frame_hmb if frame_hmb is not None else hmb
+    assert hmb % fh == 0
     # pad with -1 (or the tile halo) on top, -1 on left/right
     if top_row is None:
         yp = jnp.pad(y, ((1, 0), (1, 4)), constant_values=-1)
@@ -79,6 +85,11 @@ def intra_mode_decision(y, wmb: int, hmb: int, qp: int, top_row=None):
     lefts = yp[1 : H + 1, 0 : W : 16].reshape(hmb, 16, wmb).transpose(0, 2, 1)
     # top rows: MB-origin rows, cols 1..W
     tops = yp[0 : H : 16, 1 : W + 1].reshape(hmb, wmb, 16)
+    if fh != hmb:
+        # frame-stack boundaries: rows k*fh have no top neighbor
+        fedge = (jnp.arange(hmb) % fh) == 0
+        tops = jnp.where(fedge[:, None, None], -1, tops)
+        corner = jnp.where(fedge[:, None], -1, corner)
     p33 = jnp.concatenate(
         [corner[..., None], lefts, tops], axis=-1
     ).reshape(nmb, 33)
@@ -133,6 +144,11 @@ def intra_mode_decision(y, wmb: int, hmb: int, qp: int, top_row=None):
         | (z_g == 3)
         | (z_g == 11)
     )  # (HB, WB)
+    if fh != hmb:
+        bedge = (jnp.arange(HB) % (4 * fh)) == 0
+        top4_g = jnp.where(bedge[:, None, None], -1, top4_g)
+        ar4_g = jnp.where(bedge[:, None, None], -1, ar4_g)
+        corner_g = jnp.where(bedge[:, None], -1, corner_g)
     last_g = top4_g[..., 3]
     ar_g = jnp.where(repl_g[..., None], last_g[..., None], ar4_g)
     p13_g = jnp.concatenate(
@@ -168,6 +184,15 @@ def intra_mode_decision(y, wmb: int, hmb: int, qp: int, top_row=None):
     satd4g = satd4 + gate4
     mode4 = jnp.argmin(satd4g, axis=0)  # (nmb, 16)
     best4_satd = satd4g.min(axis=0).sum(axis=-1)  # (nmb,)
+
+    if modes_only:
+        # wavefront callers recompute prediction/levels themselves
+        return {
+            "mode16": mode16,
+            "satd16": best16_satd,
+            "mode4": mode4,
+            "satd4": best4_satd,
+        }
 
     # winning I16 prediction + its quantized levels (DC path + AC)
     pred16 = jnp.take_along_axis(

@@ -538,16 +538,26 @@ def wavefront_chroma_skewed(cb_src, cr_src, modes, wmb: int, hmb: int, qp: int):
     return cbp, crp, dcg, acg
 
 
-@functools.partial(jax.jit, static_argnames=("wmb", "hmb", "qp", "qpc"))
+@functools.partial(
+    jax.jit, static_argnames=("wmb", "hmb", "qp", "qpc", "frame_hmb"))
 def wavefront_i16_frame(y_src, cb_src, cr_src, modes, cmodes,
-                        wmb: int, hmb: int, qp: int, qpc: int):
+                        wmb: int, hmb: int, qp: int, qpc: int,
+                        frame_hmb: int | None = None):
     """Fused luma+chroma I16 wavefront: one diagonal loop reconstructs all
     three planes (halves the per-step dispatch overhead of running the two
     skewed wavefronts back to back). Outputs match the separate kernels.
+
+    `frame_hmb`: per-frame MB rows when `y_src` is a vertical stack of
+    B = hmb/frame_hmb frames (GOP batch). MB rows at multiples of
+    frame_hmb have no top neighbor, so frames stay independent while
+    their wavefronts pipeline through one diagonal sweep (B*frame_hmb +
+    wmb - 1 steps for B frames instead of B*(frame_hmb + wmb - 1)).
     """
     nmb = wmb * hmb
     ndiag = hmb + wmb - 1
     dmax = hmb
+    fh = frame_hmb if frame_hmb is not None else hmb
+    assert hmb % fh == 0
 
     from ..ops.tables import INTRA4X4_SCAN_ORDER_XY
 
@@ -607,7 +617,7 @@ def wavefront_i16_frame(y_src, cb_src, cr_src, modes, cmodes,
         row_valid = jax.lax.dynamic_slice(val_all, (d, 0), (1, dmax))[0]
         cs = d - slot
         left_ok = (cs > 0) & row_valid
-        top_ok = (slot > 0) & row_valid
+        top_ok = (slot % fh > 0) & row_valid
         corner_ok = left_ok & top_ok
 
         # --- luma ---
@@ -689,3 +699,294 @@ def wavefront_i16_frame(y_src, cb_src, cr_src, modes, cmodes,
         cdc_out[:, rg + cg, rb].reshape(2, nmb, 4),
         cac_out[:, rg + cg, rb].reshape(2, nmb, 4, 15),
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("wmb", "hmb", "qp", "qpc", "frame_hmb"))
+def wavefront_i16_recon(y_src, cb_src, cr_src, modes, cmodes,
+                        wmb: int, hmb: int, qp: int, qpc: int,
+                        frame_hmb: int | None = None):
+    """Recon-only skewed I16 wavefront: wavefront_i16_frame minus the
+    in-loop coefficient-list collection (zig-zag scans, DC scatters and
+    their dynamic_update_slice buffers). Callers recompute the lists in
+    one batched pass from the finished recon
+    (kernels.wavefront_pallas.i16_levels_from_recon) — bit-identical,
+    ~30% fewer sequential per-diagonal ops.
+    """
+    ndiag = hmb + wmb - 1
+    dmax = hmb
+    fh = frame_hmb if frame_hmb is not None else hmb
+    assert hmb % fh == 0
+
+    from ..ops.tables import INTRA4X4_SCAN_ORDER_XY
+
+    bxy = INTRA4X4_SCAN_ORDER_XY
+    zx = bxy[:, 0] // 4
+    zy = bxy[:, 1] // 4
+
+    ysrc_grid = y_src.reshape(hmb, 16, wmb, 16).transpose(0, 2, 1, 3)
+    csrc = jnp.stack([
+        cb_src.reshape(hmb, 8, wmb, 8).transpose(0, 2, 1, 3),
+        cr_src.reshape(hmb, 8, wmb, 8).transpose(0, 2, 1, 3),
+    ])
+    modes_grid = modes.reshape(hmb, wmb)
+    cmodes_grid = cmodes.reshape(hmb, wmb)
+    slot = jnp.arange(dmax)
+
+    ds = jnp.arange(ndiag)[:, None]
+    rr = jnp.broadcast_to(slot[None, :], (ndiag, dmax))
+    cc_all = ds - rr
+    val_all = (rr < hmb) & (cc_all >= 0) & (cc_all < wmb)
+
+    def skew(grid, lead=0):
+        rows = []
+        for r in range(hmb):
+            g = grid[(slice(None),) * lead + (r,)]
+            pad = [(0, 0)] * lead + [(r, ndiag - wmb - r)] + [(0, 0)] * (g.ndim - 1 - lead)
+            rows.append(jnp.pad(g, pad))
+        return jnp.stack(rows, axis=lead + 1)
+
+    ysk = skew(ysrc_grid)
+    csk = skew(csrc, lead=1)
+    msk = skew(modes_grid)
+    cmsk = skew(cmodes_grid)
+
+    def mb_blocks(mb):
+        b = mb.reshape(*mb.shape[:-2], 2, 2, 4, 2, 2, 4)
+        b = jnp.moveaxis(b, (-6, -3, -5, -2), (-6, -5, -4, -3))
+        return b.reshape(*mb.shape[:-2], 16, 4, 4)
+
+    def blocks_mb(blocks):
+        b = blocks.reshape(*blocks.shape[:-3], 2, 2, 2, 2, 4, 4)
+        b = jnp.moveaxis(b, (-6, -5, -4, -3), (-6, -3, -5, -2))
+        return b.reshape(*blocks.shape[:-3], 16, 16)
+
+    def cblocks_of(mb):
+        b = mb.reshape(*mb.shape[:-2], 2, 4, 2, 4)
+        b = jnp.moveaxis(b, -3, -2)
+        return b.reshape(*mb.shape[:-2], 4, 4, 4)
+
+    def cmb_of(blocks):
+        b = blocks.reshape(*blocks.shape[:-3], 2, 2, 4, 4)
+        b = jnp.moveaxis(b, -2, -3)
+        return b.reshape(*blocks.shape[:-3], 8, 8)
+
+    def step(d, carry):
+        yrec, crec = carry
+        row_valid = jax.lax.dynamic_slice(val_all, (d, 0), (1, dmax))[0]
+        cs = d - slot
+        left_ok = (cs > 0) & row_valid
+        top_ok = (slot % fh > 0) & row_valid
+        corner_ok = left_ok & top_ok
+
+        prev1 = jax.lax.dynamic_slice(yrec, (d + 1, 0, 0, 0), (1, dmax, 16, 16))[0]
+        prev2 = jax.lax.dynamic_slice(yrec, (d, 0, 0, 0), (1, dmax, 16, 16))[0]
+        lcol = jnp.where(left_ok[:, None], prev1[:, :, 15], -1)
+        trow = jnp.where(top_ok[:, None], jnp.roll(prev1, 1, axis=0)[:, 15, :], -1)
+        corner = jnp.where(corner_ok, jnp.roll(prev2, 1, axis=0)[:, 15, 15], -1)
+        p33 = jnp.concatenate([corner[:, None], lcol, trow], axis=-1)
+        m = jax.lax.dynamic_slice(msk, (d, 0), (1, dmax))[0]
+        preds = intra.predict_16x16_all_modes(p33)
+        pred = jnp.take_along_axis(preds, m[None, :, None, None], axis=0)[0]
+        srcs = jax.lax.dynamic_slice(ysk, (d, 0, 0, 0), (1, dmax, 16, 16))[0]
+        q = transform.quantize_residual(
+            transform.forward_transform_4x4(mb_blocks(srcs - pred)), qp, True)
+        dc = jnp.zeros((dmax, 4, 4), jnp.int32).at[:, zy, zx].set(q[:, :, 0, 0])
+        qdc = transform.forward_dc_luma(dc, qp)
+        dcv = transform.inverse_dc_luma(qdc, qp)
+        res_in = q.at[:, :, 0, 0].set(dcv[:, zy, zx])
+        res = transform.inverse_residual(res_in, qp, True)
+        out_y = jnp.clip(pred + blocks_mb(res), 0, 255)
+        yrec = jax.lax.dynamic_update_slice(yrec, out_y[None], (d + 2, 0, 0, 0))
+
+        cp1 = jax.lax.dynamic_slice(crec, (0, d + 1, 0, 0, 0), (2, 1, dmax, 8, 8))[:, 0]
+        cp2 = jax.lax.dynamic_slice(crec, (0, d, 0, 0, 0), (2, 1, dmax, 8, 8))[:, 0]
+        clcol = jnp.where(left_ok[None, :, None], cp1[:, :, :, 7], -1)
+        ctrow = jnp.where(top_ok[None, :, None], jnp.roll(cp1, 1, axis=1)[:, :, 7, :], -1)
+        ccorner = jnp.where(corner_ok[None, :], jnp.roll(cp2, 1, axis=1)[:, :, 7, 7], -1)
+        p17 = jnp.concatenate([ccorner[..., None], clcol, ctrow], axis=-1)
+        cm = jax.lax.dynamic_slice(cmsk, (d, 0), (1, dmax))[0]
+        cpreds = intra.predict_chroma_all_modes(p17)
+        cpred = jnp.take_along_axis(cpreds, cm[None, None, :, None, None], axis=0)[0]
+        csrcs = jax.lax.dynamic_slice(csk, (0, d, 0, 0, 0), (2, 1, dmax, 8, 8))[:, 0]
+        cq = transform.quantize_residual(
+            transform.forward_transform_4x4(cblocks_of(csrcs - cpred)), qpc, True)
+        cdc2 = cq[..., 0, 0].reshape(2, dmax, 2, 2)
+        cqdc = transform.forward_dc_chroma(cdc2, qpc)
+        cdcv = transform.inverse_dc_chroma(cqdc, qpc)
+        cres_in = cq.at[..., 0, 0].set(cdcv.reshape(2, dmax, 4))
+        cres = transform.inverse_residual(cres_in, qpc, True)
+        out_c = jnp.clip(cpred + cmb_of(cres), 0, 255)
+        crec = jax.lax.dynamic_update_slice(crec, out_c[:, None], (0, d + 2, 0, 0, 0))
+        return yrec, crec
+
+    carry0 = (
+        jnp.zeros((ndiag + 2, dmax, 16, 16), jnp.int32),
+        jnp.zeros((2, ndiag + 2, dmax, 8, 8), jnp.int32),
+    )
+    yrec, crec = jax.lax.fori_loop(0, ndiag, step, carry0)
+
+    rg = jnp.arange(hmb)[:, None]
+    cg = jnp.arange(wmb)[None, :]
+    rb = jnp.broadcast_to(rg, (hmb, wmb))
+    frame = yrec[2 + rg + cg, rb].transpose(0, 2, 1, 3).reshape(hmb * 16, wmb * 16)
+    cgrid = crec[:, 2 + rg + cg, rb]
+    cbp = cgrid[0].transpose(0, 2, 1, 3).reshape(hmb * 8, wmb * 8)
+    crp = cgrid[1].transpose(0, 2, 1, 3).reshape(hmb * 8, wmb * 8)
+    return frame, cbp, crp
+
+
+@functools.partial(
+    jax.jit, static_argnames=("wmb", "hmb", "qp", "qpc", "frame_hmb"))
+def wavefront_i16_scan(y_src, cb_src, cr_src, modes, cmodes,
+                       wmb: int, hmb: int, qp: int, qpc: int,
+                       frame_hmb: int | None = None):
+    """lax.scan formulation of the fused I16 wavefront (same outputs as
+    wavefront_i16_frame, bit-identical).
+
+    The skewed fori_loop variants carry the full reconstruction (13 MB at
+    1080p, ~110 MB for a 4-frame stack) through the loop and dynamic-slice
+    it every diagonal — XLA moves the whole buffer per step. Here the
+    loop-carried state is ONLY the previous diagonal's boundary pixels
+    (bottom rows / right columns / corner, ~20 KB): per-step inputs arrive
+    as scan xs and per-step outputs leave as scan ys, which XLA writes
+    in place. This is the XLA mirror of the Pallas VMEM-scratch design.
+    """
+    nmb = wmb * hmb
+    ndiag = hmb + wmb - 1
+    dmax = hmb
+    fh = frame_hmb if frame_hmb is not None else hmb
+    assert hmb % fh == 0
+
+    from ..ops.tables import INTRA4X4_SCAN_ORDER_XY
+
+    bxy = INTRA4X4_SCAN_ORDER_XY
+    zx = bxy[:, 0] // 4
+    zy = bxy[:, 1] // 4
+
+    ysrc_grid = y_src.reshape(hmb, 16, wmb, 16).transpose(0, 2, 1, 3)
+    csrc = jnp.stack([
+        cb_src.reshape(hmb, 8, wmb, 8).transpose(0, 2, 1, 3),
+        cr_src.reshape(hmb, 8, wmb, 8).transpose(0, 2, 1, 3),
+    ])
+    modes_grid = modes.reshape(hmb, wmb)
+    cmodes_grid = cmodes.reshape(hmb, wmb)
+    slot = jnp.arange(dmax)
+
+    ds = jnp.arange(ndiag)[:, None]
+    rr = jnp.broadcast_to(slot[None, :], (ndiag, dmax))
+    cc_all = ds - rr
+    val_all = (rr < hmb) & (cc_all >= 0) & (cc_all < wmb)
+    left_ok_all = val_all & (cc_all > 0)
+    top_ok_all = val_all & ((rr % fh) > 0)
+
+    def skew(grid, lead=0):
+        rows = []
+        for r in range(hmb):
+            g = grid[(slice(None),) * lead + (r,)]
+            pad = [(0, 0)] * lead + [(r, ndiag - wmb - r)] + [(0, 0)] * (
+                g.ndim - 1 - lead)
+            rows.append(jnp.pad(g, pad))
+        return jnp.stack(rows, axis=lead + 1)
+
+    ysk = skew(ysrc_grid)                       # (ndiag, dmax, 16, 16)
+    csk = jnp.moveaxis(skew(csrc, lead=1), 0, 1)  # (ndiag, 2, dmax, 8, 8)
+    msk = skew(modes_grid)
+    cmsk = skew(cmodes_grid)
+
+    def mb_blocks(mb):
+        b = mb.reshape(*mb.shape[:-2], 2, 2, 4, 2, 2, 4)
+        b = jnp.moveaxis(b, (-6, -3, -5, -2), (-6, -5, -4, -3))
+        return b.reshape(*mb.shape[:-2], 16, 4, 4)
+
+    def blocks_mb(blocks):
+        b = blocks.reshape(*blocks.shape[:-3], 2, 2, 2, 2, 4, 4)
+        b = jnp.moveaxis(b, (-6, -5, -4, -3), (-6, -3, -5, -2))
+        return b.reshape(*blocks.shape[:-3], 16, 16)
+
+    def cblocks_of(mb):
+        b = mb.reshape(*mb.shape[:-2], 2, 4, 2, 4)
+        b = jnp.moveaxis(b, -3, -2)
+        return b.reshape(*mb.shape[:-2], 4, 4, 4)
+
+    def cmb_of(blocks):
+        b = blocks.reshape(*blocks.shape[:-3], 2, 2, 4, 4)
+        b = jnp.moveaxis(b, -2, -3)
+        return b.reshape(*blocks.shape[:-3], 8, 8)
+
+    def step(carry, xs):
+        # carry: boundary pixels of diagonals d-1 (rows/cols) and d-2 (corner)
+        trow_p, lcol_p, cor_p, ctrow_p, clcol_p, ccor_p = carry
+        srcs, csrcs, m, cm, left_ok, top_ok = xs
+        corner_ok = left_ok & top_ok
+
+        lcol = jnp.where(left_ok[:, None], lcol_p, -1)           # (dmax, 16)
+        trow = jnp.where(top_ok[:, None], jnp.roll(trow_p, 1, axis=0), -1)
+        corner = jnp.where(corner_ok, jnp.roll(cor_p, 1, axis=0), -1)
+        p33 = jnp.concatenate([corner[:, None], lcol, trow], axis=-1)
+        preds = intra.predict_16x16_all_modes(p33)
+        pred = jnp.take_along_axis(preds, m[None, :, None, None], axis=0)[0]
+        q = transform.quantize_residual(
+            transform.forward_transform_4x4(mb_blocks(srcs - pred)), qp, True)
+        dc = jnp.zeros((dmax, 4, 4), jnp.int32).at[:, zy, zx].set(q[:, :, 0, 0])
+        qdc = transform.forward_dc_luma(dc, qp)
+        i16dc_list = transform.zigzag_scan(qdc)
+        ac_list = transform.zigzag_scan(q)[:, :, 1:]
+        dcv = transform.inverse_dc_luma(qdc, qp)
+        res = transform.inverse_residual(
+            q.at[:, :, 0, 0].set(dcv[:, zy, zx]), qp, True)
+        out_y = jnp.clip(pred + blocks_mb(res), 0, 255)
+
+        clcol = jnp.where(left_ok[None, :, None], clcol_p, -1)   # (2, dmax, 8)
+        ctrow = jnp.where(top_ok[None, :, None], jnp.roll(ctrow_p, 1, axis=1), -1)
+        ccorner = jnp.where(corner_ok[None, :], jnp.roll(ccor_p, 1, axis=1), -1)
+        p17 = jnp.concatenate([ccorner[..., None], clcol, ctrow], axis=-1)
+        cpreds = intra.predict_chroma_all_modes(p17)
+        cpred = jnp.take_along_axis(
+            cpreds, cm[None, None, :, None, None], axis=0)[0]
+        cq = transform.quantize_residual(
+            transform.forward_transform_4x4(cblocks_of(csrcs - cpred)), qpc, True)
+        cdc2 = cq[..., 0, 0].reshape(2, dmax, 2, 2)
+        cqdc = transform.forward_dc_chroma(cdc2, qpc)
+        cdcv = transform.inverse_dc_chroma(cqdc, qpc)
+        cac_list = transform.zigzag_scan(cq)[..., 1:]
+        cres = transform.inverse_residual(
+            cq.at[..., 0, 0].set(cdcv.reshape(2, dmax, 4)), qpc, True)
+        out_c = jnp.clip(cpred + cmb_of(cres), 0, 255)
+
+        new_carry = (
+            out_y[:, 15, :],            # bottom rows   (dmax, 16)
+            out_y[:, :, 15],            # right cols    (dmax, 16)
+            trow_p[:, 15],              # d-1 bottom-right → next step's d-2
+            out_c[:, :, 7, :],          # chroma bottom (2, dmax, 8)
+            out_c[:, :, :, 7],          # chroma right  (2, dmax, 8)
+            ctrow_p[:, :, 7],           # (2, dmax)
+        )
+        ys = (out_y, i16dc_list, ac_list, out_c,
+              cqdc.reshape(2, dmax, 4), cac_list)
+        return new_carry, ys
+
+    carry0 = (
+        jnp.zeros((dmax, 16), jnp.int32),
+        jnp.zeros((dmax, 16), jnp.int32),
+        jnp.zeros((dmax,), jnp.int32),
+        jnp.zeros((2, dmax, 8), jnp.int32),
+        jnp.zeros((2, dmax, 8), jnp.int32),
+        jnp.zeros((2, dmax), jnp.int32),
+    )
+    _, ys = jax.lax.scan(
+        step, carry0, (ysk, csk, msk, cmsk, left_ok_all, top_ok_all))
+    yrec, dc_out, ac_out, crec, cdc_out, cac_out = ys
+
+    rg = jnp.arange(hmb)[:, None]
+    cg = jnp.arange(wmb)[None, :]
+    rb = jnp.broadcast_to(rg, (hmb, wmb))
+    frame = yrec[rg + cg, rb].transpose(0, 2, 1, 3).reshape(hmb * 16, wmb * 16)
+    cgrid = crec[rg + cg, :, rb]  # (hmb, wmb, 2, 8, 8)
+    cbp = cgrid[:, :, 0].transpose(0, 2, 1, 3).reshape(hmb * 8, wmb * 8)
+    crp = cgrid[:, :, 1].transpose(0, 2, 1, 3).reshape(hmb * 8, wmb * 8)
+    dcg = dc_out[rg + cg, rb].reshape(nmb, 16)
+    acg = ac_out[rg + cg, rb].reshape(nmb, 16, 15)
+    cdcg = jnp.moveaxis(cdc_out[rg + cg, :, rb].reshape(nmb, 2, 4), 1, 0)
+    cacg = jnp.moveaxis(cac_out[rg + cg, :, rb].reshape(nmb, 2, 4, 15), 1, 0)
+    return frame, dcg, acg, cbp, crp, cdcg, cacg

@@ -877,3 +877,366 @@ def i4x4_levels_from_recon(y_src, recon, modes, wmb: int, hmb: int, qp: int):
     lists_mb = lists_mb.reshape(nmb, 16, 16)  # raster block order in MB
     inv_z = jnp.asarray(np.argsort(np.asarray(RASTER_TO_LUMA_BLOCK)))
     return lists_mb[:, inv_z, :]
+
+
+# ---------------------------------------------------------------------------
+# Recon-only I16 wavefront + bulk level recompute (the fast path).
+#
+# Same DMA-byte economy as the i4x4 kernel: stream uint8 pixels both ways,
+# keep every coefficient list out of the kernel, and rebuild the levels in
+# one batched XLA pass over the finished reconstruction.
+
+
+def _i16_recon_kernel_body(wmb, hmb, qp, qpc,
+                           msk_ref, ysk_ref, cbsk_ref, crsk_ref,
+                           yrec_ref, cbrec_ref, crrec_ref,
+                           trow_s, lcol_s, corner_s,
+                           ctrow_s, clcol_s, ccorner_s):
+    dmax = hmb
+    d = pl.program_id(0)
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, dmax), 1)
+    c_of = d - slot
+    valid = (c_of >= 0) & (c_of < wmb)
+    left_ok = valid & (c_of > 0)
+    top_ok = valid & (slot > 0)
+    corner_ok = left_ok & top_ok
+
+    trow_prev = trow_s[...]
+    lcol_prev = lcol_s[...]
+    corner_prev = corner_s[...]
+
+    lcol = jnp.where(left_ok, lcol_prev, -1)
+    trow = jnp.where(top_ok, _roll_lanes(trow_prev, 1), -1)
+    corner = jnp.where(corner_ok, _roll_lanes(corner_prev, 1), -1)
+
+    m16 = msk_ref[0, 0:1]   # (1, dmax) luma mode
+    cm = msk_ref[0, 1:2]    # (1, dmax) chroma mode
+
+    pred_v = jnp.broadcast_to(trow[None, :, :], (16, 16, dmax))
+    pred_h = jnp.broadcast_to(lcol[:, None, :], (16, 16, dmax))
+    sum_t = trow.sum(axis=0, keepdims=True)
+    sum_l = lcol.sum(axis=0, keepdims=True)
+    dcval = jnp.where(
+        corner_ok,
+        (sum_t + sum_l + 16) >> 5,
+        jnp.where(left_ok, (sum_l + 8) >> 4,
+                  jnp.where(top_ok, (sum_t + 8) >> 4, 128)),
+    )
+    pred_dc = jnp.broadcast_to(dcval[None, :, :], (16, 16, dmax))
+    hgrad = None
+    vgrad = None
+    for i in range(8):
+        tm = corner if i == 7 else trow[6 - i : 7 - i]
+        lm = corner if i == 7 else lcol[6 - i : 7 - i]
+        th = (i + 1) * (trow[8 + i : 9 + i] - tm)
+        tv = (i + 1) * (lcol[8 + i : 9 + i] - lm)
+        hgrad = th if hgrad is None else hgrad + th
+        vgrad = tv if vgrad is None else vgrad + tv
+    a = (lcol[15:16] + trow[15:16]) << 4
+    b = (5 * hgrad + 32) >> 6
+    c = (5 * vgrad + 32) >> 6
+    xs = jax.lax.broadcasted_iota(jnp.int32, (16, 16, 1), 1) - 7
+    ys = jax.lax.broadcasted_iota(jnp.int32, (16, 16, 1), 0) - 7
+    pred_p = jnp.clip((a[None] + b[None] * xs + c[None] * ys + 16) >> 5, 0, 255)
+    mm = m16[None]
+    pred = jnp.where(
+        mm == 0, pred_v,
+        jnp.where(mm == 1, pred_h, jnp.where(mm == 2, pred_dc, pred_p)),
+    )
+
+    src = ysk_ref[0].astype(jnp.int32)
+    dcoef = _fwd_transform(src - pred, 4, 4)
+    q = _quant_spatial(dcoef, qp, 4, 4)
+    dcm = _dc_mask(4, 4)
+
+    dc16 = _block_dc(dcoef, 4, 4)
+    H4 = ((1, 1, 1, 1), (1, 1, -1, -1), (1, -1, -1, 1), (1, -1, 1, -1))
+
+    def had4(v):
+        r1 = jnp.stack(
+            [sum(H4[i][k] * v[k] for k in range(4)) for i in range(4)], axis=0
+        )
+        return jnp.stack(
+            [sum(H4[j][k] * r1[:, k] for k in range(4)) for j in range(4)],
+            axis=1,
+        )
+
+    fdc = (had4(dc16) + 8) >> 4
+    lq0 = int(LEVEL_QUANTIZE[qp % 6, 0, 0])
+    if qp >= 36:
+        qdc = ((fdc >> (qp // 6 - 6)) * lq0 + 16384) >> 15
+    else:
+        qdc = (((fdc << (6 - qp // 6)) - (1 << (5 - qp // 6))) * lq0 + 16384) >> 15
+    idc = had4(qdc)
+    ls0 = int(LEVEL_SCALE[qp % 6, 0, 0])
+    if qp >= 36:
+        dcv = (idc * ls0) << (qp // 6 - 6)
+    else:
+        dcv = (idc * ls0 + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+
+    scaled = jnp.where(dcm, _rep4(dcv), _scale_spatial(q, qp, 4, 4))
+    recon = jnp.clip(pred + _inv_transform(scaled, 4, 4), 0, 255)
+    yrec_ref[0] = recon.astype(jnp.uint8)
+
+    corner_s[...] = trow_prev[15:16, :]
+    trow_s[...] = recon[15]
+    lcol_s[...] = recon[:, 15]
+
+    # ---- chroma ------------------------------------------------------------
+    ctrow_prev = ctrow_s[...]
+    clcol_prev = clcol_s[...]
+    ccorner_prev = ccorner_s[...]
+
+    ctrow = jnp.where(top_ok[None], _roll_lanes(ctrow_prev, 1), -1)
+    clcol = jnp.where(left_ok[None], clcol_prev, -1)
+    ccorner = jnp.where(corner_ok, _roll_lanes(ccorner_prev, 1), -1)
+
+    csrc = jnp.stack(
+        [cbsk_ref[0].astype(jnp.int32), crsk_ref[0].astype(jnp.int32)], axis=0
+    )
+
+    cpred_h = jnp.broadcast_to(clcol[:, :, None, :], (2, 8, 8, dmax))
+    cpred_v = jnp.broadcast_to(ctrow[:, None, :, :], (2, 8, 8, dmax))
+    qsum_t = [ctrow[:, 0:4].sum(axis=1), ctrow[:, 4:8].sum(axis=1)]
+    qsum_l = [clcol[:, 0:4].sum(axis=1), clcol[:, 4:8].sum(axis=1)]
+
+    def qdc_val(xq, yq):
+        sx, sy = qsum_t[xq], qsum_l[yq]
+        both = (sx + sy + 4) >> 3
+        lonly = (sy + 2) >> 2
+        tonly = (sx + 2) >> 2
+        if (xq, yq) in ((0, 0), (1, 1)):
+            return jnp.where(
+                corner_ok, both,
+                jnp.where(left_ok, lonly, jnp.where(top_ok, tonly, 128)),
+            )
+        if (xq, yq) == (1, 0):
+            return jnp.where(top_ok, tonly, jnp.where(left_ok, lonly, 128))
+        return jnp.where(left_ok, lonly, jnp.where(top_ok, tonly, 128))
+
+    ygrid = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 8, 1), 1)
+    xgrid = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 8, 1), 2)
+    cpred_dc = jnp.zeros((2, 8, 8, dmax), jnp.int32)
+    for yq in range(2):
+        for xq in range(2):
+            sel = ((ygrid >= 4 * yq) & (ygrid < 4 * yq + 4)
+                   & (xgrid >= 4 * xq) & (xgrid < 4 * xq + 4))
+            cpred_dc = jnp.where(sel, qdc_val(xq, yq)[:, None, None, :], cpred_dc)
+    chg = None
+    cvg = None
+    for i in range(4):
+        tm = ccorner if i == 3 else ctrow[:, 2 - i]
+        lm = ccorner if i == 3 else clcol[:, 2 - i]
+        th = (i + 1) * (ctrow[:, 4 + i] - tm)
+        tv = (i + 1) * (clcol[:, 4 + i] - lm)
+        chg = th if chg is None else chg + th
+        cvg = tv if cvg is None else cvg + tv
+    ca = (clcol[:, 7] + ctrow[:, 7]) << 4
+    cb_ = (34 * chg + 32) >> 6
+    cc = (34 * cvg + 32) >> 6
+    cxs = xgrid - 3
+    cys = ygrid - 3
+    cpred_p = jnp.clip(
+        (ca[:, None, None, :] + cb_[:, None, None, :] * cxs
+         + cc[:, None, None, :] * cys + 16) >> 5, 0, 255)
+    cmm = cm[None, None]
+    cpred = jnp.where(
+        cmm == 0, cpred_dc,
+        jnp.where(cmm == 1, cpred_h, jnp.where(cmm == 2, cpred_v, cpred_p)),
+    )
+
+    cdiff = csrc - cpred
+    cdcoef = jnp.stack([_fwd_transform(cdiff[k], 2, 2) for k in range(2)], axis=0)
+    cq = jnp.stack([_quant_spatial(cdcoef[k], qpc, 2, 2) for k in range(2)], axis=0)
+    cdcm = _dc_mask(2, 2)
+    cdc = jnp.stack([_block_dc(cdcoef[k], 2, 2) for k in range(2)], axis=0)
+
+    def had2(v):
+        r0 = v[:, 0] + v[:, 1]
+        r1 = v[:, 0] - v[:, 1]
+        return jnp.stack(
+            [
+                jnp.stack([r0[:, 0] + r0[:, 1], r0[:, 0] - r0[:, 1]], axis=1),
+                jnp.stack([r1[:, 0] + r1[:, 1], r1[:, 0] - r1[:, 1]], axis=1),
+            ],
+            axis=1,
+        )
+
+    cfdc = (had2(cdc) + 2) >> 2
+    clq0 = int(LEVEL_QUANTIZE[qpc % 6, 0, 0])
+    cqdc = (((cfdc << 5) >> (qpc // 6)) * clq0 + 16384) >> 15
+    cls0 = int(LEVEL_SCALE[qpc % 6, 0, 0])
+    cdcv = ((had2(cqdc) * cls0) << (qpc // 6)) >> 5
+
+    cscaled = jnp.stack(
+        [_scale_spatial(cq[k], qpc, 2, 2) for k in range(2)], axis=0
+    )
+    cscaled = jnp.where(
+        cdcm[None], jnp.stack([_rep4(cdcv[k]) for k in range(2)], axis=0), cscaled
+    )
+    cres = jnp.stack([_inv_transform(cscaled[k], 2, 2) for k in range(2)], axis=0)
+    crecon = jnp.clip(cpred + cres, 0, 255)
+
+    cbrec_ref[0] = crecon[0].astype(jnp.uint8)
+    crrec_ref[0] = crecon[1].astype(jnp.uint8)
+
+    ccorner_s[...] = ctrow_prev[:, 7]
+    ctrow_s[...] = crecon[:, 7]
+    clcol_s[...] = crecon[:, :, 7]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("wmb", "hmb", "qp", "qpc", "frame_hmb"))
+def i16_levels_from_recon(y_src, cb_src, cr_src, yrec, cbrec, crrec,
+                          modes, cmodes, wmb: int, hmb: int, qp: int, qpc: int,
+                          frame_hmb: int | None = None):
+    """Coefficient lists of an all-I16 frame, given its reconstruction.
+
+    Batched XLA over all MBs: p33/p17 neighbor fetch from the RECON planes
+    via strided slices, predict with the decided modes, transform + quant +
+    DC paths. Returns (i16dc (nmb,16), ac (nmb,16,15), cdc (2,nmb,4),
+    cac (2,nmb,4,15)) identical to wavefront_i16_frame's list outputs.
+    """
+    from ..ops import intra, transform
+    from ..ops.tables import INTRA4X4_SCAN_ORDER_XY
+
+    nmb = wmb * hmb
+    H, W = hmb * 16, wmb * 16
+    fh = frame_hmb if frame_hmb is not None else hmb
+    fedge = (jnp.arange(hmb) % fh) == 0
+
+    # --- luma p33 from recon -------------------------------------------
+    yp = jnp.pad(yrec, ((1, 0), (1, 0)), constant_values=-1)
+    corner = yp[0:H:16, 0:W:16]
+    lefts = yp[1 : H + 1, 0:W:16].reshape(hmb, 16, wmb).transpose(0, 2, 1)
+    tops = yp[0:H:16, 1 : W + 1].reshape(hmb, wmb, 16)
+    if fh != hmb:
+        tops = jnp.where(fedge[:, None, None], -1, tops)
+        corner = jnp.where(fedge[:, None], -1, corner)
+    p33 = jnp.concatenate(
+        [corner[..., None], lefts, tops], axis=-1
+    ).reshape(nmb, 33)
+    preds = intra.predict_16x16_all_modes(p33)
+    pred = jnp.take_along_axis(preds, modes[None, :, None, None], axis=0)[0]
+
+    src = y_src.reshape(hmb, 16, wmb, 16).transpose(0, 2, 1, 3).reshape(nmb, 16, 16)
+
+    def zmb_blocks(x):
+        bl = x.reshape(*x.shape[:-2], 2, 2, 4, 2, 2, 4)
+        bl = jnp.moveaxis(bl, (-6, -3, -5, -2), (-6, -5, -4, -3))
+        return bl.reshape(*x.shape[:-2], 16, 4, 4)
+
+    d = transform.forward_transform_4x4(zmb_blocks(src - pred))
+    q = transform.quantize_residual(d, qp, True)
+    bxy = INTRA4X4_SCAN_ORDER_XY
+    zx, zy = bxy[:, 0] // 4, bxy[:, 1] // 4
+    dc = jnp.zeros((nmb, 4, 4), jnp.int32).at[:, zy, zx].set(q[:, :, 0, 0])
+    i16dc = transform.zigzag_scan(transform.forward_dc_luma(dc, qp))
+    ac = transform.zigzag_scan(q)[:, :, 1:]
+
+    # --- chroma p17 from recon -------------------------------------------
+    Hc, Wc = hmb * 8, wmb * 8
+    cdc_out = []
+    cac_out = []
+    for plane_src, plane_rec in ((cb_src, cbrec), (cr_src, crrec)):
+        cp = jnp.pad(plane_rec, ((1, 0), (1, 0)), constant_values=-1)
+        ccorner = cp[0:Hc:8, 0:Wc:8]
+        clefts = cp[1 : Hc + 1, 0:Wc:8].reshape(hmb, 8, wmb).transpose(0, 2, 1)
+        ctops = cp[0:Hc:8, 1 : Wc + 1].reshape(hmb, wmb, 8)
+        if fh != hmb:
+            ctops = jnp.where(fedge[:, None, None], -1, ctops)
+            ccorner = jnp.where(fedge[:, None], -1, ccorner)
+        p17 = jnp.concatenate(
+            [ccorner[..., None], clefts, ctops], axis=-1
+        ).reshape(nmb, 17)
+        cpreds = intra.predict_chroma_all_modes(p17)
+        cpred = jnp.take_along_axis(
+            cpreds, cmodes[None, :, None, None], axis=0)[0]
+        csrc = plane_src.reshape(hmb, 8, wmb, 8).transpose(0, 2, 1, 3).reshape(nmb, 8, 8)
+
+        def cblocks(x):
+            bl = x.reshape(*x.shape[:-2], 2, 4, 2, 4)
+            bl = jnp.moveaxis(bl, -3, -2)
+            return bl.reshape(*x.shape[:-2], 4, 4, 4)
+
+        cq = transform.quantize_residual(
+            transform.forward_transform_4x4(cblocks(csrc - cpred)), qpc, True
+        )
+        cdc2 = cq[..., 0, 0].reshape(nmb, 2, 2)
+        cdc_out.append(transform.forward_dc_chroma(cdc2, qpc).reshape(nmb, 4))
+        cac_out.append(transform.zigzag_scan(cq)[..., 1:])
+    return i16dc, ac, jnp.stack(cdc_out), jnp.stack(cac_out)
+
+
+@functools.partial(jax.jit, static_argnames=("wmb", "hmb", "qp", "qpc"))
+def pallas_i16_frame_fast(y_src, cb_src, cr_src, modes, cmodes,
+                          wmb: int, hmb: int, qp: int, qpc: int):
+    """Recon-only Pallas wavefront + bulk XLA levels. Same return tuple as
+    wavefront_i16_frame, bit-identical, with ~5x less Pallas DMA traffic."""
+    nmb = wmb * hmb
+    ndiag = hmb + wmb - 1
+    dmax = hmb
+
+    ygrid = y_src.reshape(hmb, 16, wmb, 16).transpose(0, 2, 1, 3)
+    cbgrid = cb_src.reshape(hmb, 8, wmb, 8).transpose(0, 2, 1, 3)
+    crgrid = cr_src.reshape(hmb, 8, wmb, 8).transpose(0, 2, 1, 3)
+
+    ysk = _skew(ygrid, ndiag, wmb, hmb).transpose(0, 2, 3, 1).astype(jnp.uint8)
+    cbsk = _skew(cbgrid, ndiag, wmb, hmb).transpose(0, 2, 3, 1).astype(jnp.uint8)
+    crsk = _skew(crgrid, ndiag, wmb, hmb).transpose(0, 2, 3, 1).astype(jnp.uint8)
+    m2 = jnp.stack([modes.reshape(hmb, wmb), cmodes.reshape(hmb, wmb)], axis=0)
+    msk = _skew(m2, ndiag, wmb, hmb, lead=1)  # (2, ndiag, dmax)
+    msk = jnp.moveaxis(msk, 0, 1)             # (ndiag, 2, dmax)
+
+    kernel = functools.partial(_i16_recon_kernel_body, wmb, hmb, qp, qpc)
+
+    def spec(shape):
+        return pl.BlockSpec(
+            (1,) + shape,
+            lambda d: (d,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    interpret = jax.default_backend() != "tpu"
+    yrec_sk, cbrec_sk, crrec_sk = pl.pallas_call(
+        kernel,
+        grid=(ndiag,),
+        in_specs=[
+            spec((2, dmax)),
+            spec((16, 16, dmax)), spec((8, 8, dmax)), spec((8, 8, dmax)),
+        ],
+        out_specs=(
+            spec((16, 16, dmax)), spec((8, 8, dmax)), spec((8, 8, dmax)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ndiag, 16, 16, dmax), jnp.uint8),
+            jax.ShapeDtypeStruct((ndiag, 8, 8, dmax), jnp.uint8),
+            jax.ShapeDtypeStruct((ndiag, 8, 8, dmax), jnp.uint8),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((16, dmax), jnp.int32),
+            pltpu.VMEM((16, dmax), jnp.int32),
+            pltpu.VMEM((1, dmax), jnp.int32),
+            pltpu.VMEM((2, 8, dmax), jnp.int32),
+            pltpu.VMEM((2, 8, dmax), jnp.int32),
+            pltpu.VMEM((2, dmax), jnp.int32),
+        ],
+        interpret=interpret,
+    )(msk, ysk, cbsk, crsk)
+
+    di, ri = _unskew_idx(wmb, hmb)
+
+    def unskew_frame(a, px):
+        g = jnp.moveaxis(a, -1, 1)[di, ri].astype(jnp.int32)
+        return g.transpose(0, 2, 1, 3).reshape(hmb * px, wmb * px)
+
+    frame = unskew_frame(yrec_sk, 16)
+    cbf = unskew_frame(cbrec_sk, 8)
+    crf = unskew_frame(crrec_sk, 8)
+    i16dc, ac, cdc, cac = i16_levels_from_recon(
+        y_src, cb_src, cr_src, frame, cbf, crf, modes, cmodes,
+        wmb=wmb, hmb=hmb, qp=qp, qpc=qpc,
+    )
+    return frame, i16dc, ac, cbf, crf, cdc, cac
