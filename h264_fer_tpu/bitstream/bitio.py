@@ -44,6 +44,27 @@ class BitWriter:
         for v, n in values_and_lengths:
             self.write(v, n)
 
+    def append_bits(self, data: bytes, nbits: int) -> None:
+        """Append the first `nbits` bits of `data` (MSB-first) in bulk —
+        the splice point for natively packed payloads (native packer
+        output starts at bit 0; here it lands at any bit offset)."""
+        if nbits == 0:
+            return
+        if self._nacc == 0:
+            full, rem = divmod(nbits, 8)
+            self._buf += data[:full]
+            if rem:
+                self.write(data[full] >> (8 - rem), rem)
+            return
+        nby = (nbits + 7) // 8
+        v = int.from_bytes(data[:nby], "big") >> (nby * 8 - nbits)
+        acc = (self._acc << nbits) | v
+        total = self._nacc + nbits
+        full, rem = divmod(total, 8)
+        self._buf += (acc >> rem).to_bytes(full, "big")
+        self._acc = acc & ((1 << rem) - 1)
+        self._nacc = rem
+
     @property
     def bit_position(self) -> int:
         return len(self._buf) * 8 + self._nacc

@@ -244,7 +244,10 @@ class Encoder:
         )
         mb_skip_run = 0
         pos_after_last_coded = 0
-        for curr in range(self.nmb):
+        if self._dev_i16 is not None and self._intra_encode_frame_native(w):
+            pos_after_last_coded = w.bit_position
+        else:
+         for curr in range(self.nmb):
             if slice_type == P_SLICE:
                 res = self._inter_encode_mb(curr)
                 if res is None:  # P_Skip

@@ -58,6 +58,14 @@ def get_lib():
         i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
         u32p, u8p, ctypes.POINTER(ctypes.c_int),
     ]
+    lib.i16_frame_entropy.restype = ctypes.c_long
+    lib.i16_frame_entropy.argtypes = [
+        i32p, i32p, i32p, i32p, i32p, i32p,
+        ctypes.c_int, ctypes.c_int,
+        i32p, i32p,
+        i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
+        u8p, i32p, i32p, i32p, i32p, i32p,
+    ]
     _lib = lib
     return lib
 
@@ -111,6 +119,56 @@ def bitpack_native(vals: np.ndarray, lens: np.ndarray) -> tuple[bytes, int]:
     out = np.empty(int(lens.sum()) // 8 + 8, np.uint8)
     bits = lib.bitpack(vals, lens, len(vals), out)
     return out[: (bits + 7) // 8].tobytes(), int(bits)
+
+
+_nbr_maps = None
+
+
+def _get_nbr_maps():
+    global _nbr_maps
+    if _nbr_maps is None:
+        from ..codec.decoder import _chroma_blk_neighbors, _luma_blk_neighbors
+
+        luma = np.array([_luma_blk_neighbors(b) for b in range(16)], np.int32)
+        chroma = np.array([_chroma_blk_neighbors(b) for b in range(4)], np.int32)
+        _nbr_maps = (np.ascontiguousarray(luma), np.ascontiguousarray(chroma))
+    return _nbr_maps
+
+
+def i16_frame_entropy_native(mode16, cmode, i16dc, i16ac, cdc, cac,
+                             wmb: int):
+    """Whole-slice macroblock_layer entropy for an all-I16 device frame.
+
+    Returns (rbsp_payload_bytes, nbits, mb_type, cbp_luma, cbp_chroma,
+    tc_luma, tc_chroma) or None when the native lib is unavailable.
+    The payload starts at bit 0; splice into the slice-header writer with
+    BitWriter.append_bits.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    nmb = len(mode16)
+    c = lambda a: np.ascontiguousarray(a, dtype=np.int32)
+    mode16, cmode = c(mode16), c(cmode)
+    i16dc, i16ac, cdc, cac = c(i16dc), c(i16ac), c(cdc), c(cac)
+    luma_nbr, chroma_nbr = _get_nbr_maps()
+    # worst-case CAVLC output is well under 2 KB/MB (16 coeff × ≤28-bit
+    # escape levels × 27 blocks ≈ 1.6 KB)
+    out = np.empty(nmb * 2048 + 4096, np.uint8)
+    mb_type = np.zeros(nmb, np.int32)
+    cbp_l = np.zeros(nmb, np.int32)
+    cbp_c = np.zeros(nmb, np.int32)
+    tc_luma = np.zeros(nmb * 16, np.int32)
+    tc_chroma = np.zeros(2 * nmb * 4, np.int32)
+    nbits = lib.i16_frame_entropy(
+        mode16, cmode, i16dc.reshape(-1), i16ac.reshape(-1),
+        cdc.reshape(-1), cac.reshape(-1), nmb, wmb,
+        luma_nbr.reshape(-1), chroma_nbr.reshape(-1), *_get_tables(),
+        out, mb_type, cbp_l, cbp_c, tc_luma, tc_chroma,
+    )
+    payload = out[: (nbits + 7) // 8].tobytes()
+    return (payload, int(nbits), mb_type, cbp_l, cbp_c,
+            tc_luma.reshape(nmb, 16), tc_chroma.reshape(2, nmb, 4))
 
 
 def insert_epb_native(rbsp: bytes) -> bytes | None:

@@ -164,4 +164,167 @@ int cavlc_block_symbols(
     return ns;
 }
 
+// ---------------------------------------------------------------------------
+// Frame-granularity slice entropy for the all-device I16 path: the TPU
+// computes every level array for the frame (wavefront reconstruction);
+// this emits the complete macroblock_layer bit sequence for the whole
+// slice in one call (the native counterpart of the reference's per-MB
+// rbsp_encoding.cpp:175-305 loop for an all-Intra_16x16 I slice).
+// Semantics identical to codec/encoder.py _intra_encode_mb_device (tests
+// compare byte-for-byte).
+
+struct BitSink {
+    uint8_t* out;
+    uint64_t acc = 0;
+    int nacc = 0;
+    long nbytes = 0;
+    long bits = 0;
+    inline void put(uint32_t v, int nb) {
+        acc = (acc << nb) | (v & ((nb >= 32) ? 0xFFFFFFFFu : ((1u << nb) - 1)));
+        nacc += nb;
+        bits += nb;
+        while (nacc >= 8) {
+            nacc -= 8;
+            out[nbytes++] = (uint8_t)(acc >> nacc);
+        }
+        acc &= (nacc >= 64) ? ~0ull : ((1ull << nacc) - 1);
+    }
+    inline void put_ue(uint32_t v) {  // Exp-Golomb: (nb-1) zeros + nb bits of v+1
+        v += 1;
+        int nb = 32 - __builtin_clz(v);
+        put(v, 2 * nb - 1);
+    }
+    inline void flush_partial() {  // left-align any tail bits (caller tracks `bits`)
+        if (nacc > 0) out[nbytes++] = (uint8_t)(acc << (8 - nacc));
+    }
+};
+
+long i16_frame_entropy(
+    const int32_t* mode16, const int32_t* cmode,   // [nmb]
+    const int32_t* i16dc,                          // [nmb*16]
+    const int32_t* i16ac,                          // [nmb*16*15]
+    const int32_t* cdc,                            // [2*nmb*4]
+    const int32_t* cac,                            // [2*nmb*4*15]
+    int nmb, int wmb,
+    const int32_t* luma_nbr,                       // [16*4] a_same,a_blk,b_same,b_blk
+    const int32_t* chroma_nbr,                     // [4*4]
+    const int32_t* ct_len, const int32_t* ct_bits,
+    const int32_t* tz_len, const int32_t* tz_bits,
+    const int32_t* tzc_len, const int32_t* tzc_bits,
+    const int32_t* rb_len, const int32_t* rb_bits,
+    uint8_t* out,
+    int32_t* mb_type_out,                          // [nmb]
+    int32_t* cbp_luma_out, int32_t* cbp_chroma_out,  // [nmb]
+    int32_t* tc_luma_out,                          // [nmb*16], zeroed by caller
+    int32_t* tc_chroma_out) {                      // [2*nmb*4], zeroed by caller
+    BitSink w{out};
+    uint32_t vals[80];
+    uint8_t lens[80];
+
+    for (int mb = 0; mb < nmb; mb++) {
+        // setCodedBlockPattern (rbsp_encoding.cpp:21-105), I16 variant
+        const int32_t* ac = i16ac + (long)mb * 16 * 15;
+        int cbp_l = 0;
+        for (int i8 = 0; i8 < 4; i8++) {
+            const int32_t* p = ac + i8 * 4 * 15;
+            for (int j = 0; j < 4 * 15; j++)
+                if (p[j]) { cbp_l = 15; break; }
+            if (cbp_l) break;
+        }
+        int cbp_c = 0;
+        for (int c = 0; c < 2 && !cbp_c; c++)
+            for (int k = 0; k < 4; k++)
+                if (cdc[((long)c * nmb + mb) * 4 + k]) { cbp_c = 1; break; }
+        for (int c = 0; c < 2 && cbp_c != 2; c++)
+            for (int j = 0; j < 4 * 15; j++)
+                if (cac[(((long)c * nmb + mb) * 4) * 15 + j]) { cbp_c = 2; break; }
+        cbp_luma_out[mb] = cbp_l;
+        cbp_chroma_out[mb] = cbp_c;
+        // I-slice mb_type for Intra_16x16 (Table 7-11)
+        int mb_type = 1 + mode16[mb] + 4 * cbp_c + (cbp_l == 15 ? 12 : 0);
+        mb_type_out[mb] = mb_type;
+        w.put_ue((uint32_t)mb_type);
+        w.put_ue((uint32_t)cmode[mb]);
+        w.put(1, 1);  // mb_qp_delta = se(0)
+
+        bool left_edge = (mb % wmb) == 0;
+        bool top_edge = mb < wmb;
+        // nC with CBP gating (residual.cpp:87-106; all MBs here are coded I16)
+        auto nc_luma = [&](int blk) -> int {
+            const int32_t* nbr = luma_nbr + blk * 4;
+            int nA = -1, nB = -1;
+            if (nbr[0]) {
+                nA = (cbp_luma_out[mb] & (1 << (nbr[1] >> 2)))
+                         ? tc_luma_out[(long)mb * 16 + nbr[1]] : 0;
+            } else if (!left_edge) {
+                nA = (cbp_luma_out[mb - 1] & (1 << (nbr[1] >> 2)))
+                         ? tc_luma_out[(long)(mb - 1) * 16 + nbr[1]] : 0;
+            }
+            if (nbr[2]) {
+                nB = (cbp_luma_out[mb] & (1 << (nbr[3] >> 2)))
+                         ? tc_luma_out[(long)mb * 16 + nbr[3]] : 0;
+            } else if (!top_edge) {
+                nB = (cbp_luma_out[mb - wmb] & (1 << (nbr[3] >> 2)))
+                         ? tc_luma_out[(long)(mb - wmb) * 16 + nbr[3]] : 0;
+            }
+            if (nA >= 0 && nB >= 0) return (nA + nB + 1) >> 1;
+            if (nA >= 0) return nA;
+            if (nB >= 0) return nB;
+            return 0;
+        };
+        auto nc_chroma = [&](int c, int blk) -> int {
+            const int32_t* nbr = chroma_nbr + blk * 4;
+            int nA = -1, nB = -1;
+            if (nbr[0]) {
+                nA = (cbp_chroma_out[mb] & 2)
+                         ? tc_chroma_out[((long)c * nmb + mb) * 4 + nbr[1]] : 0;
+            } else if (!left_edge) {
+                nA = (cbp_chroma_out[mb - 1] & 2)
+                         ? tc_chroma_out[((long)c * nmb + mb - 1) * 4 + nbr[1]] : 0;
+            }
+            if (nbr[2]) {
+                nB = (cbp_chroma_out[mb] & 2)
+                         ? tc_chroma_out[((long)c * nmb + mb) * 4 + nbr[3]] : 0;
+            } else if (!top_edge) {
+                nB = (cbp_chroma_out[mb - wmb] & 2)
+                         ? tc_chroma_out[((long)c * nmb + mb - wmb) * 4 + nbr[3]] : 0;
+            }
+            if (nA >= 0 && nB >= 0) return (nA + nB + 1) >> 1;
+            if (nA >= 0) return nA;
+            if (nB >= 0) return nB;
+            return 0;
+        };
+        auto emit = [&](const int32_t* levels, int maxc, int nc) -> int {
+            int tc = 0;
+            int ns = cavlc_block_symbols(levels, maxc, nc, ct_len, ct_bits,
+                                         tz_len, tz_bits, tzc_len, tzc_bits,
+                                         rb_len, rb_bits, vals, lens, &tc);
+            for (int i = 0; i < ns; i++) w.put(vals[i], lens[i]);
+            return tc;
+        };
+
+        // residual order: Intra16x16DC, 16 AC (CBP-gated), chroma DC, chroma AC
+        tc_luma_out[(long)mb * 16 + 0] = emit(i16dc + (long)mb * 16, 16, nc_luma(0));
+        if (cbp_l) {
+            for (int blk = 0; blk < 16; blk++) {
+                tc_luma_out[(long)mb * 16 + blk] =
+                    emit(ac + (long)blk * 15, 15, nc_luma(blk));
+            }
+        }
+        if (cbp_c & 3) {
+            for (int c = 0; c < 2; c++)
+                emit(cdc + ((long)c * nmb + mb) * 4, 4, -1);
+        }
+        if (cbp_c & 2) {
+            for (int c = 0; c < 2; c++)
+                for (int blk = 0; blk < 4; blk++)
+                    tc_chroma_out[((long)c * nmb + mb) * 4 + blk] =
+                        emit(cac + (((long)c * nmb + mb) * 4 + blk) * 15, 15,
+                             nc_chroma(c, blk));
+        }
+    }
+    w.flush_partial();
+    return w.bits;
+}
+
 }  // extern "C"
