@@ -247,22 +247,22 @@ class Encoder:
         if self._dev_i16 is not None and self._intra_encode_frame_native(w):
             pos_after_last_coded = w.bit_position
         else:
-         for curr in range(self.nmb):
-            if slice_type == P_SLICE:
-                res = self._inter_encode_mb(curr)
-                if res is None:  # P_Skip
-                    mb_skip_run += 1
-                    continue
-                write_ue(w, mb_skip_run)
-                mb_skip_run = 0
-                self._write_inter_mb(w, curr, *res)
-                pos_after_last_coded = w.bit_position
-            elif self._dev_i16 is not None:
-                self._intra_encode_mb_device(w, curr)
-                pos_after_last_coded = w.bit_position
-            else:
-                self._intra_encode_mb(w, curr)
-                pos_after_last_coded = w.bit_position
+            for curr in range(self.nmb):
+                if slice_type == P_SLICE:
+                    res = self._inter_encode_mb(curr)
+                    if res is None:  # P_Skip
+                        mb_skip_run += 1
+                        continue
+                    write_ue(w, mb_skip_run)
+                    mb_skip_run = 0
+                    self._write_inter_mb(w, curr, *res)
+                    pos_after_last_coded = w.bit_position
+                elif self._dev_i16 is not None:
+                    self._intra_encode_mb_device(w, curr)
+                    pos_after_last_coded = w.bit_position
+                else:
+                    self._intra_encode_mb(w, curr)
+                    pos_after_last_coded = w.bit_position
         if mb_skip_run > 0:
             write_ue(w, mb_skip_run)
         w.rbsp_trailing_bits()
@@ -812,6 +812,42 @@ class Encoder:
         self.y[:] = np.asarray(recon_y)
         self.cb[:] = np.asarray(recon_cb)
         self.cr[:] = np.asarray(recon_cr)
+
+    def _intra_encode_frame_native(self, w: BitWriter) -> bool:
+        """Whole-slice macroblock_layer entropy via the native C++ backend
+        (native/cavlc_native.cpp i16_frame_entropy) — the counterpart of
+        the reference's per-MB write loop (rbsp_encoding.cpp:175-305) for
+        an all-device I16 frame: one call emits every MB's bits, spliced
+        into the slice writer in bulk. Bit-identical to the per-MB
+        `_intra_encode_mb_device` path (tests/test_native.py).
+
+        Returns False when the native lib is unavailable so the Python
+        per-MB loop runs instead.
+        """
+        from .. import native
+
+        d = self._dev_i16
+        res = native.i16_frame_entropy_native(
+            d["mode16"], d["cmode"], d["i16dc"], d["i16ac"],
+            d["cdc"], d["cac"], self.wmb,
+        )
+        if res is None:
+            return False
+        payload, nbits, mb_type, cbp_l, cbp_c, tc_luma, tc_chroma = res
+        w.append_bits(payload, nbits)
+        # write back per-MB state (used by later P-frames' nC/MV context
+        # and by _drop_tail_skips)
+        self.mb_type[:] = mb_type  # device path is I-slice only (raw type)
+        self.mb_intra[:] = True
+        self.mb_i4x4[:] = False
+        self.cbp_luma[:] = cbp_l
+        self.cbp_chroma[:] = cbp_c
+        self.tc_luma[:] = tc_luma
+        self.tc_chroma[:] = tc_chroma
+        self.nz_luma[:] = (
+            d["i16ac"].any(axis=2) | d["i16dc"].any(axis=1)[:, None]
+        )
+        return True
 
     def _intra_encode_mb_device(self, w: BitWriter, curr: int) -> None:
         """Syntax/CAVLC writing for a device-reconstructed I16 MB."""

@@ -152,8 +152,10 @@ def i16_frame_entropy_native(mode16, cmode, i16dc, i16ac, cdc, cac,
     mode16, cmode = c(mode16), c(cmode)
     i16dc, i16ac, cdc, cac = c(i16dc), c(i16ac), c(cdc), c(cac)
     luma_nbr, chroma_nbr = _get_nbr_maps()
-    # worst-case CAVLC output is well under 2 KB/MB (16 coeff × ≤28-bit
-    # escape levels × 27 blocks ≈ 1.6 KB)
+    # worst-case CAVLC output per MB: 27 blocks × (16 coeff × 28-bit escape
+    # levels + coeff_token + total_zeros + 15 run_before codes) ≈ 1950 bytes
+    # ≤ the 2048 allocated (4:2:0-specific: re-derive if the block count per
+    # MB ever changes)
     out = np.empty(nmb * 2048 + 4096, np.uint8)
     mb_type = np.zeros(nmb, np.int32)
     cbp_l = np.zeros(nmb, np.int32)
