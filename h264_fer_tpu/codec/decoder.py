@@ -104,9 +104,6 @@ def _chroma_blk_neighbors(blk: int):
     return a_same, a_blk, b_same, b_blk
 
 
-MV_NA = None  # we use None sentinels instead of the reference's 0x80808080
-
-
 class Decoder:
     """Stateful session decoder mirroring the reference's global state."""
 

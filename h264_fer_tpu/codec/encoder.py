@@ -983,8 +983,8 @@ class Encoder:
         """Full-search SAD per 8x8 block over ±window/2 integer positions,
         then quarter-pel refinement around the best integer vector.
 
-        (The TPU pipeline batches this across the whole frame; see
-        kernels/me_pallas.py.)
+        (The device path batches the integer search across the whole frame;
+        see ops/me.py, consumed via self._me_cands.)
         Returns (4, 2) quarter-pel MVs.
         """
         cfg = self.cfg

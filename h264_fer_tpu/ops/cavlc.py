@@ -1,9 +1,8 @@
 """CAVLC residual block coding (norm 9.2; reference residual.cpp).
 
 Host-side scalar encode/decode/size of one 4x4 (or 2x2 chroma DC) coefficient
-list. The TPU encoder path computes per-block (symbol, length) streams in
-bulk (kernels/cavlc_pallas.py) using the same tables; this module is the
-semantic reference and the decoder's entropy stage.
+list. This module is the semantic reference for the native whole-slice
+entropy backend (native/cavlc_native.cpp) and the decoder's entropy stage.
 
 Level coding implements the norm 9.2.2.1 prefix/suffix scheme algorithmically
 (the closed form of the reference's generated lookup tables,

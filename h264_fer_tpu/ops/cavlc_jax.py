@@ -1,0 +1,272 @@
+"""Batched device-side CAVLC symbol/size computation (norm 9.2).
+
+The TPU counterpart of the scalar host codec in ops/cavlc.py (reference
+residual_block_cavlc_write/_size, residual.cpp:374-957): every quantity is
+computed for ALL blocks of a frame at once with vector ops; the only
+sequential structure is the norm's own per-coefficient adaptive state
+(suffixLength, zerosLeft), unrolled over the static 16-coefficient depth.
+
+Key structural fact exploited by the encoder wavefront: of a block's bits,
+ONLY the coeff_token length depends on nC (the neighbor TotalCoeff
+context). Everything else — trailing-one signs, level prefix/suffix,
+total_zeros, run_before — is a pure function of the level list. So the
+expensive part runs embarrassingly parallel over all blocks here, and the
+wavefront (which resolves nC and the Intra_4x4-vs-16x16 arbitration)
+only gathers precomputed per-context token lengths.
+
+Symbol stream layout (fixed slots per block, for the prefix-scan packer):
+  slot 0        coeff_token        (filled by the caller once nC is known)
+  slot 1        trailing-one signs (fused: t1 bits)
+  slots 2..L+1  level codes        (fused prefix+stop+suffix, ≤28 bits)
+  slot L+2      total_zeros
+  slots L+3..   run_before         (L-1 slots)
+Total 2L+3 slots; empty slots have length 0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .cavlc_tables import (
+    COEFF_TOKEN_BITS,
+    COEFF_TOKEN_LEN,
+    RUN_BEFORE_BITS,
+    RUN_BEFORE_LEN,
+    TOTAL_ZEROS_BITS,
+    TOTAL_ZEROS_CDC_BITS,
+    TOTAL_ZEROS_CDC_LEN,
+    TOTAL_ZEROS_LEN,
+)
+
+
+def nc_to_ctx(nc):
+    """nC → coeff_token table context (Table 9-5 columns); nc >= 0."""
+    return (
+        jnp.where(nc < 2, 0, 0)
+        + jnp.where(nc >= 2, 1, 0)
+        + jnp.where(nc >= 4, 1, 0)
+        + jnp.where(nc >= 8, 1, 0)
+    )
+
+
+def ue_bits(v):
+    """Bit length of ue(v): 2*floor(log2(v+1)) + 1."""
+    # v < 2^31; bit_length via float log2 is unsafe — use integer compare sum
+    vv = (v + 1).astype(jnp.uint32)
+    nb = jnp.zeros(v.shape, jnp.int32)
+    for k in range(1, 32):
+        nb = nb + (vv >= jnp.uint32(1 << k)).astype(jnp.int32)
+    return 2 * nb + 1
+
+
+def ue_code(v):
+    """(value, length) of ue(v) as one fused symbol: leading zeros, stop
+    bit, then the binary remainder — value = v + 1 in `length` bits."""
+    return v + 1, ue_bits(v)
+
+
+def se_bits(v):
+    """Bit length of se(v) (signed Exp-Golomb)."""
+    u = jnp.where(v > 0, 2 * v - 1, -2 * v)
+    return ue_bits(u)
+
+
+def se_code(v):
+    u = jnp.where(v > 0, 2 * v - 1, -2 * v)
+    return ue_code(u)
+
+
+def block_symbols_bulk(levels, max_num_coeff: int):
+    """Per-block CAVLC symbols and sizes for a batch of blocks.
+
+    levels: (..., L) int32 zig-zag coefficient lists, L = levels.shape[-1].
+    max_num_coeff: the maxNumCoeff of this block kind (16/15/4); chroma-DC
+    (4) selects the chroma total_zeros table, like the reference's nC == -1.
+
+    Returns dict:
+      tc        (...,)   TotalCoeff
+      t1        (...,)   TrailingOnes
+      rest_bits (...,)   all bits except coeff_token
+      ct_len    (..., 5) coeff_token length per nC context
+      ct_val    (..., 5) coeff_token codeword per nC context
+      vals/lens (..., 2L+3) fused symbol stream (slot 0 zeroed)
+    """
+    L = levels.shape[-1]
+    chroma_dc = max_num_coeff == 4
+    lead = levels.shape[:-1]
+    pos = jnp.arange(L, dtype=jnp.int32)
+    nz = levels != 0
+    tc = nz.sum(axis=-1).astype(jnp.int32)
+
+    # nonzero values/positions in reverse-scan (high-frequency-first) order
+    key = jnp.where(nz, -pos, jnp.int32(1))
+    rev_idx = jnp.argsort(key, axis=-1, stable=True)
+    rev_vals = jnp.take_along_axis(levels, rev_idx, axis=-1)
+    rev_pos = jnp.take_along_axis(
+        jnp.broadcast_to(pos, levels.shape), rev_idx, axis=-1
+    )
+    k_arange = jnp.arange(L, dtype=jnp.int32)
+    valid = k_arange < tc[..., None]
+
+    # trailing ones: run of |level| == 1 from the top, capped at 3
+    ones = (jnp.abs(rev_vals) == 1) & valid
+    t1 = jnp.cumprod(ones[..., :3].astype(jnp.int32), axis=-1).sum(axis=-1)
+
+    # coeff_token per context (gather over the 5-ctx axis)
+    ctl = jnp.asarray(COEFF_TOKEN_LEN)  # (5, 17, 4)
+    ctb = jnp.asarray(COEFF_TOKEN_BITS)
+    ct_len = ctl[:, tc, t1]  # (5, ...)
+    ct_val = ctb[:, tc, t1]
+    ct_len = jnp.moveaxis(ct_len, 0, -1)  # (..., 5)
+    ct_val = jnp.moveaxis(ct_val, 0, -1)
+
+    nsym = 2 * L + 3
+    vals = jnp.zeros(lead + (nsym,), jnp.int32)
+    lens = jnp.zeros(lead + (nsym,), jnp.int32)
+
+    # --- trailing one signs (fused into one symbol of t1 bits) ----------
+    sign = (rev_vals < 0).astype(jnp.int32)
+    t1_val = jnp.zeros(lead, jnp.int32)
+    for k in range(3):
+        in_t1 = k < t1
+        # bit k sits at position (t1-1-k) from the LSB
+        shift = jnp.maximum(t1 - 1 - k, 0)
+        t1_val = t1_val + jnp.where(in_t1, sign[..., k] << shift, 0)
+    vals = vals.at[..., 1].set(t1_val)
+    lens = lens.at[..., 1].set(t1)
+
+    # --- level codes (adaptive suffixLength fold, unrolled over L) ------
+    suffix_len = jnp.where((tc > 10) & (t1 < 3), 1, 0).astype(jnp.int32)
+    for i in range(L):
+        active = (i >= t1) & (i < tc)
+        lv = rev_vals[..., i]
+        code = jnp.where(lv > 0, 2 * lv - 2, -2 * lv - 1)
+        code = code - 2 * ((t1 == i) & (t1 < 3)).astype(jnp.int32)
+        sl = suffix_len
+        # suffix_len == 0 branch
+        p0 = jnp.where(code < 14, code, jnp.where(code < 30, 14, 15))
+        s0 = jnp.where(code < 14, 0, jnp.where(code < 30, 4, 12))
+        u0 = jnp.where(code < 14, 0,
+                       jnp.where(code < 30, code - 14, code - 30))
+        # suffix_len > 0 branch
+        pr = code >> sl
+        px = jnp.minimum(pr, 15)
+        sx = jnp.where(pr < 15, sl, 12)
+        ux = jnp.where(pr < 15, code & ((1 << sl) - 1), code - (15 << sl))
+        prefix = jnp.where(sl == 0, p0, px)
+        ssize = jnp.where(sl == 0, s0, sx)
+        suffix = jnp.where(sl == 0, u0, ux)
+        length = prefix + 1 + ssize
+        value = (1 << ssize) | suffix
+        vals = vals.at[..., 2 + i].set(jnp.where(active, value, 0))
+        lens = lens.at[..., 2 + i].set(jnp.where(active, length, 0))
+        sl1 = jnp.maximum(sl, 1)
+        grow = (jnp.abs(lv) > (3 << (sl1 - 1))) & (sl1 < 6)
+        sl2 = sl1 + grow.astype(jnp.int32)
+        suffix_len = jnp.where(active, sl2, suffix_len)
+
+    # --- total_zeros -----------------------------------------------------
+    total_zeros = jnp.where(tc > 0, rev_pos[..., 0] + 1 - tc, 0)
+    if chroma_dc:
+        tzl = jnp.asarray(TOTAL_ZEROS_CDC_LEN)
+        tzb = jnp.asarray(TOTAL_ZEROS_CDC_BITS)
+    else:
+        tzl = jnp.asarray(TOTAL_ZEROS_LEN)
+        tzb = jnp.asarray(TOTAL_ZEROS_BITS)
+    tz_active = (tc > 0) & (tc < max_num_coeff)
+    tzi = jnp.clip(tc - 1, 0, tzl.shape[0] - 1)
+    tzj = jnp.clip(total_zeros, 0, tzl.shape[1] - 1)
+    vals = vals.at[..., L + 2].set(jnp.where(tz_active, tzb[tzi, tzj], 0))
+    lens = lens.at[..., L + 2].set(jnp.where(tz_active, tzl[tzi, tzj], 0))
+
+    # --- run_before (zerosLeft fold, unrolled over L-1) -------------------
+    rbl = jnp.asarray(RUN_BEFORE_LEN)  # (6, 7)
+    rbb = jnp.asarray(RUN_BEFORE_BITS)
+    zeros_left = total_zeros
+    for k in range(L - 1):
+        active = (k <= tc - 2) & (zeros_left > 0)
+        run = rev_pos[..., k] - rev_pos[..., k + 1] - 1
+        run = jnp.where(active, run, 0)
+        esc = zeros_left > 6
+        v_esc = jnp.where(run < 7, 7 - run, 1)
+        l_esc = jnp.where(run < 7, 3, run - 3)
+        zi = jnp.clip(zeros_left - 1, 0, 5)
+        ri = jnp.clip(run, 0, 6)
+        value = jnp.where(esc, v_esc, rbb[zi, ri])
+        length = jnp.where(esc, l_esc, rbl[zi, ri])
+        vals = vals.at[..., L + 3 + k].set(jnp.where(active, value, 0))
+        lens = lens.at[..., L + 3 + k].set(jnp.where(active, length, 0))
+        zeros_left = jnp.where(active, zeros_left - run, zeros_left)
+
+    rest_bits = lens[..., 1:].sum(axis=-1)
+    return {
+        "tc": tc,
+        "t1": t1,
+        "rest_bits": rest_bits,
+        "ct_len": ct_len,
+        "ct_val": ct_val,
+        "vals": vals,
+        "lens": lens,
+    }
+
+
+def finalize_symbols(blk, ctx):
+    """Fill slot 0 with the coeff_token for the resolved nC contexts.
+
+    blk: output of block_symbols_bulk; ctx: (...,) int32 in 0..4.
+    Returns (vals, lens) with all slots final.
+    """
+    ct_val = jnp.take_along_axis(blk["ct_val"], ctx[..., None], axis=-1)[..., 0]
+    ct_len = jnp.take_along_axis(blk["ct_len"], ctx[..., None], axis=-1)[..., 0]
+    vals = blk["vals"].at[..., 0].set(ct_val)
+    lens = blk["lens"].at[..., 0].set(ct_len)
+    return vals, lens
+
+
+# ---------------------------------------------------------------------------
+# Prefix-scan bit packing: (value, length) symbol streams → packed bytes.
+
+
+def pack_symbols(vals, lens):
+    """Pack a flat symbol stream into a uint32 big-endian word array.
+
+    vals/lens: (n,) int32, each value in `length` bits (MSB-first), zero
+    lengths skipped. Returns (words uint32 (nw,), total_bits).
+
+    Strategy (XLA-native, no sequential bit cursor): an exclusive prefix
+    scan of lengths gives every symbol's absolute bit offset; each symbol
+    then scatter-ORs into at most two 32-bit output words (symbols are
+    ≤28 bits so they span ≤2 words). The scatters are independent —
+    symbols never collide within a word-half because offsets partition
+    the bit axis.
+    """
+    lens = lens.astype(jnp.int32)
+    off = jnp.cumsum(lens) - lens  # exclusive prefix scan
+    total = off[-1] + lens[-1] if lens.shape[0] else jnp.int32(0)
+    nbits_max = vals.shape[0] * 32 + 64
+    word = off >> 5
+    bit = off & 31  # bit position of symbol MSB within word (from MSB side)
+    v = vals.astype(jnp.uint32)
+    # left-aligned 64-bit value split into two 32-bit halves:
+    # value occupies bits [bit, bit+len) from the word's MSB
+    sh_hi = 32 - bit - lens  # may be negative
+    hi = jnp.where(
+        sh_hi >= 0,
+        v << jnp.maximum(sh_hi, 0),
+        v >> jnp.minimum(-sh_hi, 31).astype(jnp.uint32),
+    )
+    lo_sh = (64 - bit - lens) & 31
+    lo = jnp.where(sh_hi < 0, v << lo_sh, jnp.uint32(0))
+    nw = (vals.shape[0] * 28) // 32 + 3
+    words = jnp.zeros((nw,), jnp.uint32)
+    words = words.at[word].add(jnp.where(lens > 0, hi, 0))
+    words = words.at[word + 1].add(jnp.where(lens > 0, lo, 0))
+    return words, total
+
+
+def words_to_bytes(words: np.ndarray, total_bits: int) -> bytes:
+    """Host-side: big-endian words → byte string of ceil(total_bits/8)."""
+    nbytes = (int(total_bits) + 7) // 8
+    return np.asarray(words, ">u4").tobytes()[:nbytes]

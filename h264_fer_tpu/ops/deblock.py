@@ -17,10 +17,8 @@ filtered (including horizontal edges). We therefore run: all vertical
 edges in left-to-right column order is NOT exactly the norm order. To stay
 exactly norm-conformant we process MB-column wavefronts: for MB column c,
 vertical edges use left-neighbor pixels already horizontally filtered.
-Round-1 scope: this module implements the *exact per-MB sequential order*
-on the host (conformance) and keeps the batched variant for the TPU path
-as an approximation candidate; only the sequential variant is wired into
-the codec.
+This module implements the *exact per-MB sequential order* on the host;
+it is the conformance oracle for the device filter.
 
 Tables ALPHA/BETA/TC0 are the norm Table 8-16/8-17 constants.
 """

@@ -6,9 +6,9 @@ interpolate the fractional position with the (1,-5,20,20,-5,1) half-pel
 filter plus bilinear quarter-pel averaging (mocomp.cpp:39-78); chroma uses
 a 3x3 window and 1/8-pel bilinear (mocomp.cpp:176-195).
 
-Host/NumPy path below; the TPU path (kernels/mc_pallas.py + ops/me.py)
-computes whole-frame interpolated planes instead, as the reference's
-optimized encoder does (moestimation.cpp:74-173).
+Host/NumPy per-window path below; the whole-frame path (ops/interp.py +
+ops/me.py) precomputes 16-phase interpolated planes instead, as the
+reference's optimized encoder does (moestimation.cpp:74-173).
 """
 
 from __future__ import annotations
