@@ -105,9 +105,15 @@ class Encoder:
         self._tpu_modes = None
         self.tpu_me = tpu_me
         self._me_cands = None
-        # all-device I-frame path: modes + wavefront reconstruction on
-        # TPU (Intra_16x16 only), host writes entropy. Requires tpu_pipeline.
+        # all-device I-frame path: modes + wavefront reconstruction +
+        # whole-slice entropy on TPU (Intra_16x16 only). Requires
+        # tpu_pipeline. The host reads back only the packed payload;
+        # reconstruction/state stay device-resident until something on the
+        # host needs them (_materialize).
         self.tpu_iframe = tpu_iframe
+        self.tpu_entropy = True  # device slice entropy (tpu_entropy.py);
+        # False falls back to the native host packer on read-back levels
+        self._pending = None  # device-resident frame outputs awaiting sync
 
     # ------------------------------------------------------------------
     # Session API (encode() / NastaviEncode() parity, fer_h264.cpp:81-134)
@@ -130,6 +136,23 @@ class Encoder:
         t0 = time.time()
         is_idr = self._select_nal_unit_type(y)
         self.curr_frame_count += 1
+        if is_idr and self.tpu_iframe and self.tpu_pipeline is not None \
+                and self.tpu_entropy:
+            # fully-device I-frame: no host working-frame conversion, no
+            # host DPB copy — everything stays on device until needed
+            self._src8 = (y, cb, cr)
+            rbsp = self._encode_slice(True)
+            out = nal_mod.write_nal_unit(1, nal_mod.NAL_IDR, rbsp)
+            mb_types = [0] * 7
+            mb_types[6] = self.nmb  # all-intra frame
+            self.stats.append({
+                "bytes": len(out),
+                "ms": (time.time() - t0) * 1000.0,
+                "idr": True,
+                "mb_types": mb_types,
+            })
+            return out
+        self._materialize()
         if is_idr and self.tpu_pipeline is not None:
             out = self.tpu_pipeline(y.astype(np.int32))
             m16, m4, _, _ = self.tpu_pipeline.modes_to_host(out)
@@ -184,19 +207,49 @@ class Encoder:
         return bytes(out)
 
     def reconstructed(self):
+        self._materialize()
         return (
             self.y.astype(np.uint8),
             self.cb.astype(np.uint8),
             self.cr.astype(np.uint8),
         )
 
+    def _materialize(self) -> None:
+        """Sync device-resident recon + per-MB state (from a fully-device
+        I-frame) back to the host arrays; applies the in-loop filter and
+        the DPB copy that the host path would have done."""
+        if self._pending is None:
+            return
+        out = self._pending
+        self._pending = None
+        self.y = np.asarray(out["recon_y"])
+        self.cb = np.asarray(out["recon_cb"])
+        self.cr = np.asarray(out["recon_cr"])
+        self.mb_type[:] = np.asarray(out["mb_type"])
+        self.mb_intra[:] = True
+        self.mb_i4x4[:] = False
+        self.cbp_luma[:] = np.asarray(out["cbp_luma"])
+        self.cbp_chroma[:] = np.asarray(out["cbp_chroma"])
+        self.tc_luma[:] = np.asarray(out["tc_luma"])
+        self.tc_chroma[:] = np.asarray(out["tc_chroma"])
+        self.nz_luma[:] = np.asarray(out["nz_luma"])
+        if self.cfg.deblock:
+            from .loopfilter import deblock_frame
+
+            deblock_frame(self)
+        self.ref_y = self.y.copy()
+        self.ref_cb = self.cb.copy()
+        self.ref_cr = self.cr.copy()
+
     # ------------------------------------------------------------------
     def _select_nal_unit_type(self, y: np.ndarray) -> bool:
         """selectNALUnitType (ref_frames.cpp:185-234)."""
-        if self.ref_y is None or self.curr_frame_count % self.cfg.intra_every == 0:
+        if (self.ref_y is None and self._pending is None) \
+                or self.curr_frame_count % self.cfg.intra_every == 0:
             return True
         if not self.cfg.scene_cut_idr:
             return False
+        self._materialize()
         sad = int(np.abs(y.astype(np.int64) - self.ref_y.astype(np.int64)).sum())
         return sad > (self.nmb << 12)
 
@@ -232,6 +285,12 @@ class Encoder:
 
         self.slice_type = slice_type
         if slice_type == I_SLICE and self.tpu_iframe and self.tpu_pipeline:
+            if self.tpu_entropy:
+                # fully-device: recon + packed slice bits on TPU; splice
+                # the payload and return (no per-MB host loop at all)
+                self._device_iframe_encode_full(w)
+                w.rbsp_trailing_bits()
+                return w.getvalue()
             self._device_iframe_precompute()
         else:
             self._dev_i16 = None
@@ -812,6 +871,25 @@ class Encoder:
         self.y[:] = np.asarray(recon_y)
         self.cb[:] = np.asarray(recon_cb)
         self.cr[:] = np.asarray(recon_cr)
+
+    def _device_iframe_encode_full(self, w: BitWriter) -> None:
+        """Fully-device I-frame (codec/tpu_iframe.py): one jitted program
+        computes modes, wavefront reconstruction and the packed slice
+        payload; the host splices the payload after the slice header.
+        Recon + per-MB state stay on device (see _materialize)."""
+        import jax.numpy as jnp
+
+        from ..ops.cavlc_jax import words_to_bytes
+        from .tpu_iframe import device_i16_frame
+
+        y, cb, cr = self._src8
+        out = device_i16_frame(
+            jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
+            wmb=self.wmb, hmb=self.hmb, qp=self.qpy, qpc=self.qpc)
+        nbits = int(out["nbits"])
+        words = np.asarray(out["words"][: (nbits + 31) // 32])
+        w.append_bits(words_to_bytes(words, nbits), nbits)
+        self._pending = out
 
     def _intra_encode_frame_native(self, w: BitWriter) -> bool:
         """Whole-slice macroblock_layer entropy via the native C++ backend

@@ -1,0 +1,212 @@
+"""Device whole-slice entropy for I16 frames (SURVEY §7 "CAVLC on TPU").
+
+The counterpart of the reference's per-MB writer loop
+(rbsp_encoding.cpp:175-305 + residual.cpp:374-666) as a fully parallel
+device program: for an all-Intra_16x16 frame, every macroblock_layer
+symbol is a pure function of the (already wavefront-reconstructed) level
+arrays — the nC context only needs the *final* TotalCoeff of the left/top
+MBs, which are known in bulk. So unlike reconstruction, entropy needs NO
+wavefront: per-MB header symbols (ue/se) and per-block CAVLC symbols are
+computed for all MBs at once (ops/cavlc_jax.py), then a prefix scan over
+symbol lengths assembles the whole slice's payload bits on device.
+
+Host involvement per frame: read back the packed words + per-MB state and
+insert emulation-prevention bytes. Bit-identical to the native C++ packer
+(native/cavlc_native.cpp i16_frame_entropy) — tests/test_tpu_entropy.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import tables as T
+from ..ops.cavlc_jax import (
+    block_symbols_bulk,
+    finalize_symbols,
+    nc_to_ctx,
+    pack_symbols,
+    ue_code,
+)
+
+# static neighbor maps (z-scan): (a_same, a_blk, b_same, b_blk) per block
+from .decoder import _chroma_blk_neighbors, _luma_blk_neighbors
+
+_LUMA_NBR = [_luma_blk_neighbors(b) for b in range(16)]
+_CHROMA_NBR = [_chroma_blk_neighbors(b) for b in range(4)]
+
+
+def _nc_luma_grid(tc_own, tc_state, cbp_own, cbp_state, wmb: int, hmb: int):
+    """Per-block luma nC for every MB (residual.cpp:251-294 derivation +
+    allNeighbouringZero CBP gating).
+
+    tc_own/cbp_own: this MB's own (candidate) TCs (nmb, 16) / CBP (nmb,)
+    used for in-MB chaining; tc_state/cbp_state: the final per-MB state
+    grids used for cross-MB reads (identical to own for the all-I16 path).
+    Returns (nmb, 16) int32 nC.
+    """
+    nmb = wmb * hmb
+    mb = jnp.arange(nmb)
+    left_edge = mb % wmb == 0
+    top_edge = mb < wmb
+    left_mb = jnp.maximum(mb - 1, 0)
+    top_mb = jnp.maximum(mb - wmb, 0)
+
+    def gated(tc, cbp, addr, blk):
+        return jnp.where(
+            (cbp[addr] >> (blk // 4)) & 1 != 0, tc[addr, blk], 0
+        )
+
+    cols = []
+    for blk in range(16):
+        a_same, a_blk, b_same, b_blk = _LUMA_NBR[blk]
+        if a_same:
+            nA = jnp.where((cbp_own >> (a_blk // 4)) & 1 != 0,
+                           tc_own[:, a_blk], 0)
+            a_ok = jnp.ones(nmb, bool)
+        else:
+            nA = gated(tc_state, cbp_state, left_mb, a_blk)
+            a_ok = ~left_edge
+        if b_same:
+            nB = jnp.where((cbp_own >> (b_blk // 4)) & 1 != 0,
+                           tc_own[:, b_blk], 0)
+            b_ok = jnp.ones(nmb, bool)
+        else:
+            nB = gated(tc_state, cbp_state, top_mb, b_blk)
+            b_ok = ~top_edge
+        nc = jnp.where(
+            a_ok & b_ok, (nA + nB + 1) >> 1,
+            jnp.where(a_ok, nA, jnp.where(b_ok, nB, 0)),
+        )
+        cols.append(nc)
+    return jnp.stack(cols, axis=-1)
+
+
+def _nc_chroma_grid(tc_c, cbp_c, wmb: int, hmb: int):
+    """(2, nmb, 4) chroma AC nC (cbp_chroma & 2 gating)."""
+    nmb = wmb * hmb
+    mb = jnp.arange(nmb)
+    left_edge = mb % wmb == 0
+    top_edge = mb < wmb
+    left_mb = jnp.maximum(mb - 1, 0)
+    top_mb = jnp.maximum(mb - wmb, 0)
+
+    def gated(addr, blk):
+        return jnp.where((cbp_c[addr] & 2) != 0, tc_c[:, addr, blk], 0)
+
+    cols = []
+    for blk in range(4):
+        a_same, a_blk, b_same, b_blk = _CHROMA_NBR[blk]
+        if a_same:
+            nA = gated(mb, a_blk)
+            a_ok = jnp.ones(nmb, bool)
+        else:
+            nA = gated(left_mb, a_blk)
+            a_ok = ~left_edge
+        if b_same:
+            nB = gated(mb, b_blk)
+            b_ok = jnp.ones(nmb, bool)
+        else:
+            nB = gated(top_mb, b_blk)
+            b_ok = ~top_edge
+        nc = jnp.where(
+            (a_ok & b_ok)[None], (nA + nB + 1) >> 1,
+            jnp.where(a_ok[None], nA, jnp.where(b_ok[None], nB, 0)),
+        )
+        cols.append(nc)  # (2, nmb)
+    return jnp.stack(cols, axis=-1)  # (2, nmb, 4)
+
+
+@functools.partial(jax.jit, static_argnames=("wmb", "hmb"))
+def i16_slice_entropy(mode16, cmode, i16dc, i16ac, cdc, cac,
+                      wmb: int, hmb: int):
+    """Whole-slice macroblock_layer bits for an all-I16 frame, on device.
+
+    Returns dict: words (uint32 payload, bit 0 = first payload bit),
+    nbits, mb_type, cbp_luma, cbp_chroma, tc_luma (nmb, 16),
+    tc_chroma (2, nmb, 4) — the exact state the host writes back
+    (matches native i16_frame_entropy).
+    """
+    nmb = wmb * hmb
+
+    # CBP derivation (setCodedBlockPattern, rbsp_encoding.cpp:21-105)
+    cbp_l = jnp.where(i16ac.reshape(nmb, -1).any(axis=-1), 15, 0)
+    has_cdc = cdc.reshape(2, nmb, -1).any(axis=(0, 2))
+    has_cac = cac.reshape(2, nmb, -1).any(axis=(0, 2))
+    cbp_c = jnp.where(has_cac, 2, jnp.where(has_cdc, 1, 0))
+    mb_type = 1 + mode16 + 4 * cbp_c + jnp.where(cbp_l == 15, 12, 0)
+
+    # per-block CAVLC symbols (nC-independent parts), all blocks at once
+    dc_blk = block_symbols_bulk(i16dc, 16)  # (nmb, ·)
+    ac_blk = block_symbols_bulk(i16ac, 15)  # (nmb, 16, ·)
+    cdc_blk = block_symbols_bulk(cdc, 4)  # (2, nmb, ·)
+    cac_blk = block_symbols_bulk(cac, 15)  # (2, nmb, 4, ·)
+
+    # final TC state (native writeback semantics: DC tc at blk 0 when the
+    # AC blocks are not coded; zeros elsewhere)
+    ac_tc = ac_blk["tc"]  # (nmb, 16)
+    dc_tc = dc_blk["tc"]  # (nmb,)
+    tc_luma = jnp.where(
+        (cbp_l == 15)[:, None], ac_tc,
+        jnp.concatenate(
+            [dc_tc[:, None], jnp.zeros((nmb, 15), jnp.int32)], axis=-1
+        ),
+    )
+    cac_tc = cac_blk["tc"]  # (2, nmb, 4)
+    tc_chroma = jnp.where((cbp_c == 2)[None, :, None], cac_tc, 0)
+
+    # nC resolution (cross-MB reads use the final state; in-MB chaining
+    # uses the same arrays — identical here since every MB is I16)
+    nc_l = _nc_luma_grid(tc_luma, tc_luma, cbp_l, cbp_l, wmb, hmb)
+    nc_c = _nc_chroma_grid(tc_chroma, cbp_c, wmb, hmb)
+
+    # coeff_token contexts; the DC block uses the luma nC of block 0
+    dc_vals, dc_lens = finalize_symbols(dc_blk, nc_to_ctx(nc_l[:, 0]))
+    ac_vals, ac_lens = finalize_symbols(ac_blk, nc_to_ctx(nc_l))
+    cdc_vals, cdc_lens = finalize_symbols(
+        cdc_blk, jnp.full((2, nmb), 4, jnp.int32)
+    )
+    cac_vals, cac_lens = finalize_symbols(cac_blk, nc_to_ctx(nc_c))
+
+    # emission gating
+    ac_lens = jnp.where((cbp_l == 15)[:, None, None], ac_lens, 0)
+    cdc_lens = jnp.where((cbp_c > 0)[None, :, None], cdc_lens, 0)
+    cac_lens = jnp.where((cbp_c == 2)[None, :, None, None], cac_lens, 0)
+
+    # header symbols: ue(mb_type), ue(chroma_mode), se(0) (=1 bit '1')
+    h0v, h0l = ue_code(mb_type)
+    h1v, h1l = ue_code(cmode)
+    hdr_vals = jnp.stack([h0v, h1v, jnp.ones(nmb, jnp.int32)], axis=-1)
+    hdr_lens = jnp.stack([h0l, h1l, jnp.ones(nmb, jnp.int32)], axis=-1)
+
+    # per-MB symbol stream in macroblock_layer order:
+    # header, I16DC, 16×AC, 2×chromaDC, 2×4 chromaAC
+    vals = jnp.concatenate([
+        hdr_vals,
+        dc_vals,
+        ac_vals.reshape(nmb, -1),
+        jnp.moveaxis(cdc_vals, 1, 0).reshape(nmb, -1),
+        jnp.moveaxis(cac_vals, 1, 0).reshape(nmb, -1),
+    ], axis=-1)
+    lens = jnp.concatenate([
+        hdr_lens,
+        dc_lens,
+        ac_lens.reshape(nmb, -1),
+        jnp.moveaxis(cdc_lens, 1, 0).reshape(nmb, -1),
+        jnp.moveaxis(cac_lens, 1, 0).reshape(nmb, -1),
+    ], axis=-1)
+
+    words, nbits = pack_symbols(vals.reshape(-1), lens.reshape(-1))
+    return {
+        "words": words,
+        "nbits": nbits,
+        "mb_type": mb_type,
+        "cbp_luma": cbp_l,
+        "cbp_chroma": cbp_c,
+        "tc_luma": tc_luma,
+        "tc_chroma": tc_chroma,
+    }

@@ -54,10 +54,12 @@ def _satd_blocks(diff_blocks, qp: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("wmb", "hmb", "qp", "modes_only", "frame_hmb"))
+    static_argnames=("wmb", "hmb", "qp", "modes_only", "frame_hmb",
+                     "i16_only"))
 def intra_mode_decision(y, wmb: int, hmb: int, qp: int, top_row=None,
                         modes_only: bool = False,
-                        frame_hmb: int | None = None):
+                        frame_hmb: int | None = None,
+                        i16_only: bool = False):
     """Whole-frame intra mode pre-decision on the source frame.
 
     y: (H, W) int32 luma. `top_row`: optional (W,) int32 halo — the last
@@ -114,6 +116,10 @@ def intra_mode_decision(y, wmb: int, hmb: int, qp: int, top_row=None,
     satd16g = satd16 + gate16
     mode16 = jnp.argmin(satd16g, axis=0)  # (nmb,)
     best16_satd = satd16g.min(axis=0)
+
+    if i16_only:
+        # the all-device I16 path needs no Intra_4x4 trial at all
+        return {"mode16": mode16, "satd16": best16_satd}
 
     # --- Intra4x4 p13 for every block of every MB ------------------------
     # Constructed from strided slices over the global 4x4-block grid

@@ -245,7 +245,6 @@ def pack_symbols(vals, lens):
     lens = lens.astype(jnp.int32)
     off = jnp.cumsum(lens) - lens  # exclusive prefix scan
     total = off[-1] + lens[-1] if lens.shape[0] else jnp.int32(0)
-    nbits_max = vals.shape[0] * 32 + 64
     word = off >> 5
     bit = off & 31  # bit position of symbol MSB within word (from MSB side)
     v = vals.astype(jnp.uint32)
@@ -254,15 +253,16 @@ def pack_symbols(vals, lens):
     sh_hi = 32 - bit - lens  # may be negative
     hi = jnp.where(
         sh_hi >= 0,
-        v << jnp.maximum(sh_hi, 0),
+        v << jnp.maximum(sh_hi, 0).astype(jnp.uint32),
         v >> jnp.minimum(-sh_hi, 31).astype(jnp.uint32),
-    )
-    lo_sh = (64 - bit - lens) & 31
-    lo = jnp.where(sh_hi < 0, v << lo_sh, jnp.uint32(0))
+    ).astype(jnp.uint32)
+    lo_sh = ((64 - bit - lens) & 31).astype(jnp.uint32)
+    lo = jnp.where(sh_hi < 0, v << lo_sh, jnp.uint32(0)).astype(jnp.uint32)
     nw = (vals.shape[0] * 28) // 32 + 3
     words = jnp.zeros((nw,), jnp.uint32)
-    words = words.at[word].add(jnp.where(lens > 0, hi, 0))
-    words = words.at[word + 1].add(jnp.where(lens > 0, lo, 0))
+    zero = jnp.zeros((), jnp.uint32)
+    words = words.at[word].add(jnp.where(lens > 0, hi, zero))
+    words = words.at[word + 1].add(jnp.where(lens > 0, lo, zero))
     return words, total
 
 
