@@ -106,10 +106,12 @@ class Encoder:
         self.tpu_me = tpu_me
         self._me_cands = None
         # all-device I-frame path: modes + wavefront reconstruction +
-        # whole-slice entropy on TPU (Intra_16x16 only). Requires
-        # tpu_pipeline. The host reads back only the packed payload;
-        # reconstruction/state stay device-resident until something on the
-        # host needs them (_materialize).
+        # whole-slice entropy on TPU. True/"i16" = Intra_16x16-only
+        # (fast); "mixed" = exact per-MB I4x4-vs-I16 bit-cost arbitration
+        # (kernels/wavefront_mixed.py), matching the host exact path.
+        # Requires tpu_pipeline. The host reads back only the packed
+        # payload; reconstruction/state stay device-resident until
+        # something on the host needs them (_materialize).
         self.tpu_iframe = tpu_iframe
         self.tpu_entropy = True  # device slice entropy (tpu_entropy.py);
         # False falls back to the native host packer on read-back levels
@@ -227,7 +229,11 @@ class Encoder:
         self.cr = np.asarray(out["recon_cr"])
         self.mb_type[:] = np.asarray(out["mb_type"])
         self.mb_intra[:] = True
-        self.mb_i4x4[:] = False
+        if "choice4" in out:  # mixed-mode frame
+            self.mb_i4x4[:] = np.asarray(out["choice4"])
+            self.i4x4_mode[:] = np.asarray(out["i4x4_mode"])
+        else:
+            self.mb_i4x4[:] = False
         self.cbp_luma[:] = np.asarray(out["cbp_luma"])
         self.cbp_chroma[:] = np.asarray(out["cbp_chroma"])
         self.tc_luma[:] = np.asarray(out["tc_luma"])
@@ -883,11 +889,21 @@ class Encoder:
         from .tpu_iframe import device_i16_frame
 
         y, cb, cr = self._src8
-        out = device_i16_frame(
+        if self.tpu_iframe == "mixed":
+            from .tpu_iframe import device_mixed_frame as device_frame
+        else:
+            device_frame = device_i16_frame
+        out = device_frame(
             jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
             wmb=self.wmb, hmb=self.hmb, qp=self.qpy, qpc=self.qpc)
         nbits = int(out["nbits"])
-        words = np.asarray(out["words"][: (nbits + 31) // 32])
+        # Read back the payload in power-of-two word buckets: a raw
+        # [:n] slice would trace a new program per distinct frame size
+        # (measured: one slow recompile per frame on real content).
+        nw = (nbits + 31) // 32
+        step = max(1024, (1 << (nw - 1).bit_length()) // 8)  # ≤12.5% over
+        bucket = -(-nw // step) * step
+        words = np.asarray(out["words"][: min(bucket, out["words"].shape[0])])
         w.append_bits(words_to_bytes(words, nbits), nbits)
         self._pending = out
 

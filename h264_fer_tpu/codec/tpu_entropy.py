@@ -121,6 +121,122 @@ def _nc_chroma_grid(tc_c, cbp_c, wmb: int, hmb: int):
     return jnp.stack(cols, axis=-1)  # (2, nmb, 4)
 
 
+def chroma_setup(cdc, cac, wmb: int, hmb: int):
+    """Chroma-side entropy quantities, independent of the luma I4-vs-I16
+    arbitration: cbp_chroma, final chroma TC state, nC contexts, per-MB
+    exact chroma residual bit count, and the chroma symbol streams.
+
+    cdc: (2, nmb, 4); cac: (2, nmb, 4, 15).
+    """
+    nmb = wmb * hmb
+    has_cdc = cdc.reshape(2, nmb, -1).any(axis=(0, 2))
+    has_cac = cac.reshape(2, nmb, -1).any(axis=(0, 2))
+    cbp_c = jnp.where(has_cac, 2, jnp.where(has_cdc, 1, 0))
+    cdc_blk = block_symbols_bulk(cdc, 4)
+    cac_blk = block_symbols_bulk(cac, 15)
+    tc_chroma = jnp.where((cbp_c == 2)[None, :, None], cac_blk["tc"], 0)
+    nc_c = _nc_chroma_grid(tc_chroma, cbp_c, wmb, hmb)
+    cdc_vals, cdc_lens = finalize_symbols(
+        cdc_blk, jnp.full((2, nmb), 4, jnp.int32))
+    cac_vals, cac_lens = finalize_symbols(cac_blk, nc_to_ctx(nc_c))
+    cdc_lens = jnp.where((cbp_c > 0)[None, :, None], cdc_lens, 0)
+    cac_lens = jnp.where((cbp_c == 2)[None, :, None, None], cac_lens, 0)
+    bits = cdc_lens.sum(axis=(0, 2)) + cac_lens.sum(axis=(0, 2, 3))
+    return {
+        "cbp_chroma": cbp_c,
+        "tc_chroma": tc_chroma,
+        "bits": bits,
+        "cdc_vals": cdc_vals, "cdc_lens": cdc_lens,
+        "cac_vals": cac_vals, "cac_lens": cac_lens,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("wmb", "hmb"))
+def mixed_slice_entropy(choice4, mode16, cmode, i16dc, i16ac, lv4,
+                        prev_flags, rem_modes, cbp_luma, tc_luma,
+                        cdc, cac, wmb: int, hmb: int):
+    """Whole-slice macroblock_layer bits for a mixed I4x4/I16 frame.
+
+    choice4/cbp_luma/tc_luma/prev_flags/rem_modes come from the
+    arbitration wavefront (kernels/wavefront_mixed.py); level arrays hold
+    both candidates' levels (the winner is selected here by `choice4`).
+    Returns the same dict shape as i16_slice_entropy.
+    """
+    nmb = wmb * hmb
+    ch = chroma_setup(cdc, cac, wmb, hmb)
+    cbp_c = ch["cbp_chroma"]
+    mbtype16 = 1 + mode16 + 4 * cbp_c + jnp.where(cbp_luma == 15, 12, 0)
+    mb_type = jnp.where(choice4, 0, mbtype16)
+
+    # luma blocks: symbols for both candidates, winner selected per MB
+    dc_blk = block_symbols_bulk(i16dc, 16)
+    ac_blk = block_symbols_bulk(i16ac, 15)
+    l4_blk = block_symbols_bulk(lv4, 16)
+    nc_l = _nc_luma_grid(tc_luma, tc_luma, cbp_luma, cbp_luma, wmb, hmb)
+    dc_vals, dc_lens = finalize_symbols(dc_blk, nc_to_ctx(nc_l[:, 0]))
+    ac_vals, ac_lens = finalize_symbols(ac_blk, nc_to_ctx(nc_l))
+    l4_vals, l4_lens = finalize_symbols(l4_blk, nc_to_ctx(nc_l))
+    dc_lens = jnp.where(choice4[:, None], 0, dc_lens)
+    quad_gate = (
+        ((cbp_luma[:, None] >> (jnp.arange(16) // 4)) & 1) != 0
+    )  # (nmb, 16); for I16 winners cbp is 0 or 15 so this is the AC gate
+    ac_lens = jnp.where(
+        (~choice4[:, None] & quad_gate)[..., None], ac_lens, 0)
+    l4_lens = jnp.where(
+        (choice4[:, None] & quad_gate)[..., None], l4_lens, 0)
+    # pad the 33-slot AC streams to the 35-slot I4 width and merge
+    pad = ((0, 0), (0, 0), (0, l4_vals.shape[-1] - ac_vals.shape[-1]))
+    ac_vals = jnp.pad(ac_vals, pad)
+    ac_lens = jnp.pad(ac_lens, pad)
+    luma_vals = jnp.where(choice4[:, None, None], l4_vals, ac_vals)
+    luma_lens = jnp.where(choice4[:, None, None], l4_lens, ac_lens)
+
+    # header: ue(mb_type); 16 pred-mode symbols (I4 only: flag=1 in 1 bit,
+    # or flag 0 + 3-bit rem_mode fused into 4 bits); ue(chroma mode);
+    # ue(CBP code, I4 only); se(0) mb_qp_delta when a residual follows
+    h0v, h0l = ue_code(mb_type)
+    pm_vals = jnp.where(prev_flags, 1, rem_modes)
+    pm_lens = jnp.where(prev_flags, 1, 4) * choice4[:, None].astype(jnp.int32)
+    h1v, h1l = ue_code(cmode)
+    cbp_tab = jnp.asarray(T.CBP_TO_CODENUM_INTRA)
+    cbp_code = cbp_tab[(cbp_c << 4) | jnp.where(choice4, cbp_luma, 0)]
+    h2v, h2l = ue_code(cbp_code)
+    h2l = jnp.where(choice4, h2l, 0)
+    has_resid = ~choice4 | (cbp_luma > 0) | (cbp_c > 0)
+    qdl = has_resid.astype(jnp.int32)
+    vals = jnp.concatenate([
+        h0v[:, None], pm_vals,
+        h1v[:, None], h2v[:, None], jnp.ones((nmb, 1), jnp.int32),
+        dc_vals,
+        luma_vals.reshape(nmb, -1),
+        jnp.moveaxis(ch["cdc_vals"], 1, 0).reshape(nmb, -1),
+        jnp.moveaxis(ch["cac_vals"], 1, 0).reshape(nmb, -1),
+    ], axis=-1)
+    lens = jnp.concatenate([
+        h0l[:, None], pm_lens,
+        h1l[:, None], h2l[:, None], qdl[:, None],
+        dc_lens,
+        luma_lens.reshape(nmb, -1),
+        jnp.moveaxis(ch["cdc_lens"], 1, 0).reshape(nmb, -1),
+        jnp.moveaxis(ch["cac_lens"], 1, 0).reshape(nmb, -1),
+    ], axis=-1)
+    words, nbits = pack_symbols(vals.reshape(-1), lens.reshape(-1))
+
+    nz_luma = jnp.where(
+        choice4[:, None], lv4.any(axis=-1),
+        i16ac.any(axis=2) | i16dc.any(axis=1)[:, None])
+    return {
+        "words": words,
+        "nbits": nbits,
+        "mb_type": mb_type,
+        "cbp_luma": cbp_luma,
+        "cbp_chroma": cbp_c,
+        "tc_luma": tc_luma,
+        "tc_chroma": ch["tc_chroma"],
+        "nz_luma": nz_luma,
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("wmb", "hmb"))
 def i16_slice_entropy(mode16, cmode, i16dc, i16ac, cdc, cac,
                       wmb: int, hmb: int):

@@ -52,6 +52,44 @@ def device_i16_frame(y, cb, cr, wmb: int, hmb: int, qp: int, qpc: int):
     }
 
 
+@functools.partial(jax.jit, static_argnames=("wmb", "hmb", "qp", "qpc"))
+def device_mixed_frame(y, cb, cr, wmb: int, hmb: int, qp: int, qpc: int):
+    """Mixed-mode device I-frame: exact Intra_4x4-vs-Intra_16x16
+    arbitration by coded bit size (kernels/wavefront_mixed.py), chroma
+    wavefront, and the whole slice's bits packed on device. Byte-identical
+    to the host encoder's exact path driven by the same pre-decided modes
+    (the tpu_pipeline-assisted host path)."""
+    from ..kernels.wavefront import wavefront_chroma
+    from ..kernels.wavefront_mixed import wavefront_mixed_luma
+    from .tpu_entropy import chroma_setup, mixed_slice_entropy
+
+    y = y.astype(jnp.int32)
+    cb = cb.astype(jnp.int32)
+    cr = cr.astype(jnp.int32)
+    out = intra_mode_decision(y, wmb=wmb, hmb=hmb, qp=qp, modes_only=True)
+    m16 = out["mode16"]
+    mode4 = out["mode4"]
+    cmode = jnp.asarray(INTRA16_TO_CHROMA_MODE)[m16]
+    recon_cb, recon_cr, cdc, cac = wavefront_chroma(
+        cb, cr, cmode, wmb=wmb, hmb=hmb, qp=qpc)
+    ch = chroma_setup(cdc, cac, wmb, hmb)
+    mx = wavefront_mixed_luma(
+        y, m16, mode4, cmode, ch["cbp_chroma"], ch["bits"],
+        wmb=wmb, hmb=hmb, qp=qp)
+    ent = mixed_slice_entropy(
+        mx["choice4"], m16, cmode, mx["i16dc"], mx["i16ac"], mx["lv4"],
+        mx["prev_flags"], mx["rem_modes"], mx["cbp_luma"], mx["tc_luma"],
+        cdc, cac, wmb=wmb, hmb=hmb)
+    return {
+        "recon_y": mx["recon_y"],
+        "recon_cb": recon_cb,
+        "recon_cr": recon_cr,
+        "choice4": mx["choice4"],
+        "i4x4_mode": mode4,
+        **ent,
+    }
+
+
 @functools.partial(jax.jit, static_argnames=())
 def frame_sad(a, b):
     """Whole-frame SAD for the scene-cut IDR decision on device

@@ -78,7 +78,7 @@ def se_code(v):
     return ue_code(u)
 
 
-def block_symbols_bulk(levels, max_num_coeff: int):
+def block_symbols_bulk(levels, max_num_coeff: int, sizes_only: bool = False):
     """Per-block CAVLC symbols and sizes for a batch of blocks.
 
     levels: (..., L) int32 zig-zag coefficient lists, L = levels.shape[-1].
@@ -91,7 +91,9 @@ def block_symbols_bulk(levels, max_num_coeff: int):
       rest_bits (...,)   all bits except coeff_token
       ct_len    (..., 5) coeff_token length per nC context
       ct_val    (..., 5) coeff_token codeword per nC context
-      vals/lens (..., 2L+3) fused symbol stream (slot 0 zeroed)
+      vals/lens (..., 2L+3) fused symbol stream (slot 0 zeroed);
+                omitted when sizes_only (the mode-decision wavefront only
+                needs bit counts — coded_mb_size, rbsp_encoding.cpp:330)
     """
     L = levels.shape[-1]
     chroma_dc = max_num_coeff == 4
@@ -123,19 +125,23 @@ def block_symbols_bulk(levels, max_num_coeff: int):
     ct_val = jnp.moveaxis(ct_val, 0, -1)
 
     nsym = 2 * L + 3
-    vals = jnp.zeros(lead + (nsym,), jnp.int32)
-    lens = jnp.zeros(lead + (nsym,), jnp.int32)
+    if not sizes_only:
+        vals = jnp.zeros(lead + (nsym,), jnp.int32)
+        lens = jnp.zeros(lead + (nsym,), jnp.int32)
+    bits_acc = jnp.zeros(lead, jnp.int32)
 
     # --- trailing one signs (fused into one symbol of t1 bits) ----------
-    sign = (rev_vals < 0).astype(jnp.int32)
-    t1_val = jnp.zeros(lead, jnp.int32)
-    for k in range(3):
-        in_t1 = k < t1
-        # bit k sits at position (t1-1-k) from the LSB
-        shift = jnp.maximum(t1 - 1 - k, 0)
-        t1_val = t1_val + jnp.where(in_t1, sign[..., k] << shift, 0)
-    vals = vals.at[..., 1].set(t1_val)
-    lens = lens.at[..., 1].set(t1)
+    bits_acc = bits_acc + t1
+    if not sizes_only:
+        sign = (rev_vals < 0).astype(jnp.int32)
+        t1_val = jnp.zeros(lead, jnp.int32)
+        for k in range(3):
+            in_t1 = k < t1
+            # bit k sits at position (t1-1-k) from the LSB
+            shift = jnp.maximum(t1 - 1 - k, 0)
+            t1_val = t1_val + jnp.where(in_t1, sign[..., k] << shift, 0)
+        vals = vals.at[..., 1].set(t1_val)
+        lens = lens.at[..., 1].set(t1)
 
     # --- level codes (adaptive suffixLength fold, unrolled over L) ------
     suffix_len = jnp.where((tc > 10) & (t1 < 3), 1, 0).astype(jnp.int32)
@@ -157,11 +163,13 @@ def block_symbols_bulk(levels, max_num_coeff: int):
         ux = jnp.where(pr < 15, code & ((1 << sl) - 1), code - (15 << sl))
         prefix = jnp.where(sl == 0, p0, px)
         ssize = jnp.where(sl == 0, s0, sx)
-        suffix = jnp.where(sl == 0, u0, ux)
         length = prefix + 1 + ssize
-        value = (1 << ssize) | suffix
-        vals = vals.at[..., 2 + i].set(jnp.where(active, value, 0))
-        lens = lens.at[..., 2 + i].set(jnp.where(active, length, 0))
+        bits_acc = bits_acc + jnp.where(active, length, 0)
+        if not sizes_only:
+            suffix = jnp.where(sl == 0, u0, ux)
+            value = (1 << ssize) | suffix
+            vals = vals.at[..., 2 + i].set(jnp.where(active, value, 0))
+            lens = lens.at[..., 2 + i].set(jnp.where(active, length, 0))
         sl1 = jnp.maximum(sl, 1)
         grow = (jnp.abs(lv) > (3 << (sl1 - 1))) & (sl1 < 6)
         sl2 = sl1 + grow.astype(jnp.int32)
@@ -178,8 +186,10 @@ def block_symbols_bulk(levels, max_num_coeff: int):
     tz_active = (tc > 0) & (tc < max_num_coeff)
     tzi = jnp.clip(tc - 1, 0, tzl.shape[0] - 1)
     tzj = jnp.clip(total_zeros, 0, tzl.shape[1] - 1)
-    vals = vals.at[..., L + 2].set(jnp.where(tz_active, tzb[tzi, tzj], 0))
-    lens = lens.at[..., L + 2].set(jnp.where(tz_active, tzl[tzi, tzj], 0))
+    bits_acc = bits_acc + jnp.where(tz_active, tzl[tzi, tzj], 0)
+    if not sizes_only:
+        vals = vals.at[..., L + 2].set(jnp.where(tz_active, tzb[tzi, tzj], 0))
+        lens = lens.at[..., L + 2].set(jnp.where(tz_active, tzl[tzi, tzj], 0))
 
     # --- run_before (zerosLeft fold, unrolled over L-1) -------------------
     rbl = jnp.asarray(RUN_BEFORE_LEN)  # (6, 7)
@@ -194,22 +204,25 @@ def block_symbols_bulk(levels, max_num_coeff: int):
         l_esc = jnp.where(run < 7, 3, run - 3)
         zi = jnp.clip(zeros_left - 1, 0, 5)
         ri = jnp.clip(run, 0, 6)
-        value = jnp.where(esc, v_esc, rbb[zi, ri])
         length = jnp.where(esc, l_esc, rbl[zi, ri])
-        vals = vals.at[..., L + 3 + k].set(jnp.where(active, value, 0))
-        lens = lens.at[..., L + 3 + k].set(jnp.where(active, length, 0))
+        bits_acc = bits_acc + jnp.where(active, length, 0)
+        if not sizes_only:
+            value = jnp.where(esc, v_esc, rbb[zi, ri])
+            vals = vals.at[..., L + 3 + k].set(jnp.where(active, value, 0))
+            lens = lens.at[..., L + 3 + k].set(jnp.where(active, length, 0))
         zeros_left = jnp.where(active, zeros_left - run, zeros_left)
 
-    rest_bits = lens[..., 1:].sum(axis=-1)
-    return {
+    out = {
         "tc": tc,
         "t1": t1,
-        "rest_bits": rest_bits,
+        "rest_bits": bits_acc,
         "ct_len": ct_len,
         "ct_val": ct_val,
-        "vals": vals,
-        "lens": lens,
     }
+    if not sizes_only:
+        out["vals"] = vals
+        out["lens"] = lens
+    return out
 
 
 def finalize_symbols(blk, ctx):
