@@ -1,19 +1,25 @@
-"""Benchmark: device-side I-frame encode throughput at 1080p (one chip).
+"""Benchmark: end-to-end device I-frame encode throughput at 1080p.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is against the reference's best published all-intra figure:
 2.92 fps at 1920×816 with its OpenCL offload (BASELINE.md, Diplomski.docx
 Table 6.5).
 
-Two metrics, deepest-first with subprocess timeouts (the axon tunnel has
-shown readback/compile hangs; the driver must still get a line):
-  iframe   — full device I-frame compute: whole-frame intra mode decision
-             (4 I16 + 9×16 I4x4 modes over all MBs) + exact wavefront
-             reconstruction of all three planes + quantized levels.
-             Everything except host CAVLC writing.
-  pipeline — mode decision + transform/quant only (no wavefront).
+Metrics, deepest-first with subprocess timeouts (the axon tunnel has shown
+compile hangs and worker crashes; the driver must still get a line):
 
-Usage: python bench.py [--metric iframe|pipeline]  (no arg: orchestrate)
+  e2e      — TRUE end-to-end: uint8 frames on the host in, decodable
+             Annex-B bytes out (modes + wavefront recon + whole-slice
+             CAVLC packed on device, EPB + NAL framing on host), timed
+             over the full encode_frame loop. The stream is decoded and
+             checked against the encoder reconstruction before the number
+             is reported.
+  device   — device-side frame program throughput (modes + wavefront +
+             slice entropy, synced by the nbits scalar readback): the
+             per-chip compute number, excluding the host↔tunnel byte
+             moves that dominate e2e on this remote-TPU setup.
+
+Usage: python bench.py [--metric e2e|device]  (no arg: orchestrate)
 """
 
 import json
@@ -25,61 +31,69 @@ import time
 import numpy as np
 
 REF_FPS = 2.92
+W, H, QP = 1920, 1088, 28
 
 
-def _sync(res) -> int:
-    """True device sync: a scalar readback. On the axon platform
-    block_until_ready returns at dispatch time (measured: a ~5 ms matmul
-    "completes" in 0.03 ms), so only a readback actually waits."""
-    leaf = res[0] if isinstance(res, (tuple, list)) else res
-    return int(np.asarray(leaf).ravel()[0])
-
-
-def _bench_step(step, args, n: int = 10) -> float:
-    _sync(step(*args))  # compile + warmup, fully executed
-    t0 = time.perf_counter()
-    res = None
-    for _ in range(n):
-        res = step(*args)
-    _sync(res)
-    return n / (time.perf_counter() - t0)
+def _content(n):
+    """Structured test frames (gradients + texture — realistic CAVLC
+    load, unlike uniform noise)."""
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:H, 0:W]
+    frames = []
+    for i in range(n):
+        y = (((xx // 7 + yy // 5 + 3 * i) % 200)
+             + rng.integers(0, 12, (H, W))).astype(np.uint8)
+        cb = rng.integers(100, 140, (H // 2, W // 2)).astype(np.uint8)
+        cr = rng.integers(100, 140, (H // 2, W // 2)).astype(np.uint8)
+        frames.append((y, cb, cr))
+    return frames
 
 
 def run_metric(which: str) -> None:
-    import jax
     import jax.numpy as jnp
 
-    from h264_fer_tpu.codec.tpu_intra import intra_mode_decision
+    from h264_fer_tpu.codec.encoder import Encoder, EncoderConfig
+    from h264_fer_tpu.codec.tpu_intra import TpuIntraPipeline
 
-    W, H, QP, QPC = 1920, 1088, 26, 24
-    wmb, hmb = W // 16, H // 16
-    rng = np.random.default_rng(0)
-    y = jnp.asarray(rng.integers(0, 256, (H, W)).astype(np.int32))
+    frames = _content(4)
 
-    if which == "pipeline":
-        def step(y):
-            out = intra_mode_decision(y, wmb=wmb, hmb=hmb, qp=QP)
-            return out["mode16"], out["mode4"], out["satd16"], out["q16"]
+    if which == "device":
+        from h264_fer_tpu.codec.tpu_iframe import device_i16_frame
 
-        fps = _bench_step(jax.jit(step), (y,))
-        name = "intra_pipeline_1080p_fps_per_chip"
-    else:
-        from h264_fer_tpu.kernels.wavefront import wavefront_i16_frame
-        from h264_fer_tpu.ops.intra import INTRA16_TO_CHROMA_MODE
-
-        cb = jnp.asarray(rng.integers(0, 256, (H // 2, W // 2)).astype(np.int32))
-        cr = jnp.asarray(rng.integers(0, 256, (H // 2, W // 2)).astype(np.int32))
-        cmap = jnp.asarray(INTRA16_TO_CHROMA_MODE)
-
-        def step(y, cb, cr):
-            out = intra_mode_decision(y, wmb=wmb, hmb=hmb, qp=QP)
-            m16 = out["mode16"]
-            res = wavefront_i16_frame(y, cb, cr, m16, cmap[m16],
-                                      wmb=wmb, hmb=hmb, qp=QP, qpc=QPC)
-            return res + (out["mode4"],)
-
-        fps = _bench_step(jax.jit(step), (y, cb, cr))
+        y, cb, cr = (jnp.asarray(p) for p in frames[0])
+        out = device_i16_frame(y, cb, cr, wmb=W // 16, hmb=H // 16,
+                               qp=QP, qpc=26)
+        int(out["nbits"])  # compile + full execution
+        n = 10
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = device_i16_frame(y, cb, cr, wmb=W // 16, hmb=H // 16,
+                                   qp=QP, qpc=26)
+            int(out["nbits"])  # true sync: scalar readback
+        fps = n / (time.perf_counter() - t0)
         name = "device_iframe_encode_1080p_fps_per_chip"
+    else:
+        enc = Encoder(W, H, EncoderConfig(qp=QP, intra_every=1),
+                      tpu_pipeline=TpuIntraPipeline(W, H, qp=QP),
+                      tpu_iframe=True)
+        stream = enc.headers() + enc.encode_frame(*frames[0])  # compile
+        t0 = time.perf_counter()
+        n = 0
+        for f in frames[1:]:
+            stream += enc.encode_frame(*f)
+            n += 1
+        fps = n / (time.perf_counter() - t0)
+        # decodability gate: decode the last frame's NAL and compare
+        # against the encoder's own reconstruction
+        from h264_fer_tpu.codec.decoder import Decoder
+
+        dec = Decoder()
+        got = list(dec.decode_annexb(stream))
+        ry, rcb, rcr = enc.reconstructed()
+        assert np.array_equal(got[-1][0], ry), "decode mismatch"
+        assert np.array_equal(got[-1][1], rcb)
+        assert np.array_equal(got[-1][2], rcr)
+        name = "e2e_iframe_encode_1080p_fps"
 
     print(json.dumps({
         "metric": name,
@@ -90,10 +104,11 @@ def run_metric(which: str) -> None:
 
 
 def main() -> None:
-    for which, budget in (("iframe", 420), ("pipeline", 240)):
+    for which, budget in (("e2e", 560), ("device", 480)):
         try:
             r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--metric", which],
+                [sys.executable, os.path.abspath(__file__), "--metric",
+                 which],
                 capture_output=True, timeout=budget, text=True,
             )
             for line in r.stdout.splitlines():
@@ -104,7 +119,7 @@ def main() -> None:
             continue
     # nothing completed (device unavailable): report that fact in-format
     print(json.dumps({
-        "metric": "device_iframe_encode_1080p_fps_per_chip",
+        "metric": "e2e_iframe_encode_1080p_fps",
         "value": 0.0,
         "unit": "frames/s (device unavailable at bench time)",
         "vs_baseline": 0.0,

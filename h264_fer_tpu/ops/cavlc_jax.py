@@ -100,15 +100,18 @@ def block_symbols_bulk(levels, max_num_coeff: int, sizes_only: bool = False):
     lead = levels.shape[:-1]
     pos = jnp.arange(L, dtype=jnp.int32)
     nz = levels != 0
-    tc = nz.sum(axis=-1).astype(jnp.int32)
+    nzi = nz.astype(jnp.int32)
+    tc = nzi.sum(axis=-1)
 
-    # nonzero values/positions in reverse-scan (high-frequency-first) order
-    key = jnp.where(nz, -pos, jnp.int32(1))
-    rev_idx = jnp.argsort(key, axis=-1, stable=True)
-    rev_vals = jnp.take_along_axis(levels, rev_idx, axis=-1)
-    rev_pos = jnp.take_along_axis(
-        jnp.broadcast_to(pos, levels.shape), rev_idx, axis=-1
-    )
+    # nonzero values/positions in reverse-scan (high-frequency-first)
+    # order. Rank of nonzero i from the top = #nonzeros at positions > i;
+    # a one-hot contraction beats a sort on the VPU.
+    rank = tc[..., None] - jnp.cumsum(nzi, axis=-1)  # (..., L)
+    onehot = (
+        (rank[..., None] == jnp.arange(L)) & nz[..., None]
+    ).astype(jnp.int32)  # (..., L, Lrev)
+    rev_vals = (levels[..., None] * onehot).sum(axis=-2)
+    rev_pos = (pos[:, None] * onehot).sum(axis=-2)
     k_arange = jnp.arange(L, dtype=jnp.int32)
     valid = k_arange < tc[..., None]
 
@@ -124,15 +127,18 @@ def block_symbols_bulk(levels, max_num_coeff: int, sizes_only: bool = False):
     ct_len = jnp.moveaxis(ct_len, 0, -1)  # (..., 5)
     ct_val = jnp.moveaxis(ct_val, 0, -1)
 
-    nsym = 2 * L + 3
-    if not sizes_only:
-        vals = jnp.zeros(lead + (nsym,), jnp.int32)
-        lens = jnp.zeros(lead + (nsym,), jnp.int32)
+    # columns are accumulated in Python lists and stacked once at the end
+    # (a .at[..., slot].set per step materializes a full copy each time)
+    vcols: list = []
+    lcols: list = []
     bits_acc = jnp.zeros(lead, jnp.int32)
 
     # --- trailing one signs (fused into one symbol of t1 bits) ----------
     bits_acc = bits_acc + t1
     if not sizes_only:
+        zero = jnp.zeros(lead, jnp.int32)
+        vcols.append(zero)  # slot 0: coeff_token (finalize_symbols)
+        lcols.append(zero)
         sign = (rev_vals < 0).astype(jnp.int32)
         t1_val = jnp.zeros(lead, jnp.int32)
         for k in range(3):
@@ -140,8 +146,8 @@ def block_symbols_bulk(levels, max_num_coeff: int, sizes_only: bool = False):
             # bit k sits at position (t1-1-k) from the LSB
             shift = jnp.maximum(t1 - 1 - k, 0)
             t1_val = t1_val + jnp.where(in_t1, sign[..., k] << shift, 0)
-        vals = vals.at[..., 1].set(t1_val)
-        lens = lens.at[..., 1].set(t1)
+        vcols.append(t1_val)
+        lcols.append(t1)
 
     # --- level codes (adaptive suffixLength fold, unrolled over L) ------
     suffix_len = jnp.where((tc > 10) & (t1 < 3), 1, 0).astype(jnp.int32)
@@ -168,8 +174,8 @@ def block_symbols_bulk(levels, max_num_coeff: int, sizes_only: bool = False):
         if not sizes_only:
             suffix = jnp.where(sl == 0, u0, ux)
             value = (1 << ssize) | suffix
-            vals = vals.at[..., 2 + i].set(jnp.where(active, value, 0))
-            lens = lens.at[..., 2 + i].set(jnp.where(active, length, 0))
+            vcols.append(jnp.where(active, value, 0))
+            lcols.append(jnp.where(active, length, 0))
         sl1 = jnp.maximum(sl, 1)
         grow = (jnp.abs(lv) > (3 << (sl1 - 1))) & (sl1 < 6)
         sl2 = sl1 + grow.astype(jnp.int32)
@@ -188,8 +194,8 @@ def block_symbols_bulk(levels, max_num_coeff: int, sizes_only: bool = False):
     tzj = jnp.clip(total_zeros, 0, tzl.shape[1] - 1)
     bits_acc = bits_acc + jnp.where(tz_active, tzl[tzi, tzj], 0)
     if not sizes_only:
-        vals = vals.at[..., L + 2].set(jnp.where(tz_active, tzb[tzi, tzj], 0))
-        lens = lens.at[..., L + 2].set(jnp.where(tz_active, tzl[tzi, tzj], 0))
+        vcols.append(jnp.where(tz_active, tzb[tzi, tzj], 0))
+        lcols.append(jnp.where(tz_active, tzl[tzi, tzj], 0))
 
     # --- run_before (zerosLeft fold, unrolled over L-1) -------------------
     rbl = jnp.asarray(RUN_BEFORE_LEN)  # (6, 7)
@@ -208,8 +214,8 @@ def block_symbols_bulk(levels, max_num_coeff: int, sizes_only: bool = False):
         bits_acc = bits_acc + jnp.where(active, length, 0)
         if not sizes_only:
             value = jnp.where(esc, v_esc, rbb[zi, ri])
-            vals = vals.at[..., L + 3 + k].set(jnp.where(active, value, 0))
-            lens = lens.at[..., L + 3 + k].set(jnp.where(active, length, 0))
+            vcols.append(jnp.where(active, value, 0))
+            lcols.append(jnp.where(active, length, 0))
         zeros_left = jnp.where(active, zeros_left - run, zeros_left)
 
     out = {
@@ -220,8 +226,8 @@ def block_symbols_bulk(levels, max_num_coeff: int, sizes_only: bool = False):
         "ct_val": ct_val,
     }
     if not sizes_only:
-        out["vals"] = vals
-        out["lens"] = lens
+        out["vals"] = jnp.stack(vcols, axis=-1)
+        out["lens"] = jnp.stack(lcols, axis=-1)
     return out
 
 
@@ -274,8 +280,11 @@ def pack_symbols(vals, lens):
     nw = (vals.shape[0] * 28) // 32 + 3
     words = jnp.zeros((nw,), jnp.uint32)
     zero = jnp.zeros((), jnp.uint32)
-    words = words.at[word].add(jnp.where(lens > 0, hi, zero))
-    words = words.at[word + 1].add(jnp.where(lens > 0, lo, zero))
+    # offsets are monotone (cumsum) — tell XLA the scatter is sorted
+    words = words.at[word].add(
+        jnp.where(lens > 0, hi, zero), indices_are_sorted=True)
+    words = words.at[word + 1].add(
+        jnp.where(lens > 0, lo, zero), indices_are_sorted=True)
     return words, total
 
 
