@@ -61,14 +61,15 @@ def run_metric(which: str) -> None:
         from h264_fer_tpu.codec.tpu_iframe import device_i16_frame
 
         y, cb, cr = (jnp.asarray(p) for p in frames[0])
+        nw = (W // 16) * (H // 16) * 24  # encoder tier-0 payload capacity
         out = device_i16_frame(y, cb, cr, wmb=W // 16, hmb=H // 16,
-                               qp=QP, qpc=26)
-        int(out["nbits"])  # compile + full execution
+                               qp=QP, qpc=26, nw=nw)
+        assert int(out["nbits"]) <= 32 * nw  # compile + full execution
         n = 10
         t0 = time.perf_counter()
         for _ in range(n):
             out = device_i16_frame(y, cb, cr, wmb=W // 16, hmb=H // 16,
-                                   qp=QP, qpc=26)
+                                   qp=QP, qpc=26, nw=nw)
             int(out["nbits"])  # true sync: scalar readback
         fps = n / (time.perf_counter() - t0)
         name = "device_iframe_encode_1080p_fps_per_chip"

@@ -893,10 +893,21 @@ class Encoder:
             from .tpu_iframe import device_mixed_frame as device_frame
         else:
             device_frame = device_i16_frame
-        out = device_frame(
-            jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
-            wmb=self.wmb, hmb=self.hmb, qp=self.qpy, qpc=self.qpc)
-        nbits = int(out["nbits"])
+        # Tiered static payload capacity: the pack program's cost scales
+        # with its word capacity, and worst-case (~15.4 kbit/MB) is ~40×
+        # a typical frame. Start at 768 bit/MB and escalate ×8 on the
+        # rare overflow (nbits is read back anyway; each tier compiles
+        # once per geometry).
+        nmb = self.wmb * self.hmb
+        tiers = [nmb * 24, nmb * 192, None]
+        for nw in tiers:
+            out = device_frame(
+                jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
+                wmb=self.wmb, hmb=self.hmb, qp=self.qpy, qpc=self.qpc,
+                nw=nw)
+            nbits = int(out["nbits"])
+            if nw is None or nbits <= 32 * nw:
+                break
         # Read back the payload in power-of-two word buckets: a raw
         # [:n] slice would trace a new program per distinct frame size
         # (measured: one slow recompile per frame on real content).

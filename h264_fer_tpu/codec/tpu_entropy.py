@@ -151,10 +151,11 @@ def chroma_setup(cdc, cac, wmb: int, hmb: int):
     }
 
 
-@functools.partial(jax.jit, static_argnames=("wmb", "hmb"))
+@functools.partial(jax.jit, static_argnames=("wmb", "hmb", "nw"))
 def mixed_slice_entropy(choice4, mode16, cmode, i16dc, i16ac, lv4,
                         prev_flags, rem_modes, cbp_luma, tc_luma,
-                        cdc, cac, wmb: int, hmb: int):
+                        cdc, cac, wmb: int, hmb: int,
+                        nw: int | None = None):
     """Whole-slice macroblock_layer bits for a mixed I4x4/I16 frame.
 
     choice4/cbp_luma/tc_luma/prev_flags/rem_modes come from the
@@ -220,7 +221,7 @@ def mixed_slice_entropy(choice4, mode16, cmode, i16dc, i16ac, lv4,
         jnp.moveaxis(ch["cdc_lens"], 1, 0).reshape(nmb, -1),
         jnp.moveaxis(ch["cac_lens"], 1, 0).reshape(nmb, -1),
     ], axis=-1)
-    words, nbits = pack_symbols(vals.reshape(-1), lens.reshape(-1))
+    words, nbits = pack_symbols(vals.reshape(-1), lens.reshape(-1), nw=nw)
 
     nz_luma = jnp.where(
         choice4[:, None], lv4.any(axis=-1),
@@ -237,9 +238,9 @@ def mixed_slice_entropy(choice4, mode16, cmode, i16dc, i16ac, lv4,
     }
 
 
-@functools.partial(jax.jit, static_argnames=("wmb", "hmb"))
+@functools.partial(jax.jit, static_argnames=("wmb", "hmb", "nw"))
 def i16_slice_entropy(mode16, cmode, i16dc, i16ac, cdc, cac,
-                      wmb: int, hmb: int):
+                      wmb: int, hmb: int, nw: int | None = None):
     """Whole-slice macroblock_layer bits for an all-I16 frame, on device.
 
     Returns dict: words (uint32 payload, bit 0 = first payload bit),
@@ -316,7 +317,7 @@ def i16_slice_entropy(mode16, cmode, i16dc, i16ac, cdc, cac,
         jnp.moveaxis(cac_lens, 1, 0).reshape(nmb, -1),
     ], axis=-1)
 
-    words, nbits = pack_symbols(vals.reshape(-1), lens.reshape(-1))
+    words, nbits = pack_symbols(vals.reshape(-1), lens.reshape(-1), nw=nw)
     return {
         "words": words,
         "nbits": nbits,

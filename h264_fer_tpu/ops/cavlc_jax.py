@@ -248,23 +248,33 @@ def finalize_symbols(blk, ctx):
 # Prefix-scan bit packing: (value, length) symbol streams → packed bytes.
 
 
-def pack_symbols(vals, lens):
+def pack_symbols(vals, lens, nw: int | None = None):
     """Pack a flat symbol stream into a uint32 big-endian word array.
 
     vals/lens: (n,) int32, each value in `length` bits (MSB-first), zero
     lengths skipped. Returns (words uint32 (nw,), total_bits).
 
-    Strategy (XLA-native, no sequential bit cursor): an exclusive prefix
-    scan of lengths gives every symbol's absolute bit offset; each symbol
-    then scatter-ORs into at most two 32-bit output words (symbols are
-    ≤28 bits so they span ≤2 words). The scatters are independent —
-    symbols never collide within a word-half because offsets partition
-    the bit axis.
+    Strategy (XLA-native, no sequential bit cursor and NO scatter — TPU
+    scatters serialize): an exclusive prefix scan of lengths gives every
+    symbol's absolute bit offset; each symbol's value splits into a `hi`
+    part for its word and a `lo` spill into the next word. Offsets are
+    monotone, so the symbols landing in output word w form a contiguous
+    index range, and because the packed bit ranges are disjoint the word
+    value is their exact integer sum (< 2^32). Each word is therefore a
+    difference of mod-2^32 prefix sums of hi/lo over a searchsorted-found
+    segment — all cumsum + gather, which the VPU streams.
+
+    nw: static output capacity in words. Bits past 32*nw are silently
+    dropped — callers must check total_bits <= 32*nw and retry at a
+    larger capacity (the default is the worst case, which never drops).
     """
+    n = vals.shape[0]
+    if nw is None:
+        nw = (n * 28) // 32 + 3
     lens = lens.astype(jnp.int32)
-    off = jnp.cumsum(lens) - lens  # exclusive prefix scan
-    total = off[-1] + lens[-1] if lens.shape[0] else jnp.int32(0)
-    word = off >> 5
+    csum = jnp.cumsum(lens)  # inclusive prefix scan
+    off = csum - lens
+    total = csum[-1] if n else jnp.int32(0)
     bit = off & 31  # bit position of symbol MSB within word (from MSB side)
     v = vals.astype(jnp.uint32)
     # left-aligned 64-bit value split into two 32-bit halves:
@@ -277,14 +287,18 @@ def pack_symbols(vals, lens):
     ).astype(jnp.uint32)
     lo_sh = ((64 - bit - lens) & 31).astype(jnp.uint32)
     lo = jnp.where(sh_hi < 0, v << lo_sh, jnp.uint32(0)).astype(jnp.uint32)
-    nw = (vals.shape[0] * 28) // 32 + 3
-    words = jnp.zeros((nw,), jnp.uint32)
-    zero = jnp.zeros((), jnp.uint32)
-    # offsets are monotone (cumsum) — tell XLA the scatter is sorted
-    words = words.at[word].add(
-        jnp.where(lens > 0, hi, zero), indices_are_sorted=True)
-    words = words.at[word + 1].add(
-        jnp.where(lens > 0, lo, zero), indices_are_sorted=True)
+    active = lens > 0
+    zero32 = jnp.zeros((1,), jnp.uint32)
+    p_hi = jnp.concatenate([zero32, jnp.cumsum(jnp.where(active, hi, 0))])
+    p_lo = jnp.concatenate([zero32, jnp.cumsum(jnp.where(active, lo, 0))])
+    # ends[w] = #symbols with offset < 32*(w+1)  (i.e. whose word <= w)
+    wq = 32 * (jnp.arange(nw, dtype=jnp.int32) + 1)
+    ends = jnp.searchsorted(off, wq, side="left").astype(jnp.int32)
+    e1 = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1]])  # ends[w-1]
+    e2 = jnp.concatenate([jnp.zeros(2, jnp.int32), ends[:-2]])  # ends[w-2]
+    # hi parts of symbols in word w: indices [ends[w-1], ends[w]);
+    # lo spills into word w come from symbols in word w-1: [e2, e1)
+    words = (p_hi[ends] - p_hi[e1]) + (p_lo[e1] - p_lo[e2])
     return words, total
 
 
