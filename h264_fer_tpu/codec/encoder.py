@@ -1122,6 +1122,9 @@ class Encoder:
                 j = int(np.argmin(sc))
                 mvx_i, mvy_i = int(mvx_k[bi, j]), int(mvy_k[bi, j])
                 best_score = float(sc[j])
+                # top_k is SAD-ascending, first-index on ties → slot 0 is
+                # the pure-SAD argmin
+                cx_i, cy_i = int(mvx_k[bi, 0]), int(mvy_k[bi, 0])
             else:
                 cands = sliding_window_view(win, (8, 8))[
                     pad - W : pad + W + 1, pad - W : pad + W + 1
@@ -1133,17 +1136,21 @@ class Encoder:
                 iy, ix = np.unravel_index(np.argmin(scores), scores.shape)
                 mvx_i, mvy_i = (int(ix) - W) * 4, (int(iy) - W) * 4
                 best_score = float(scores[iy, ix])
+                # qpel center: the pure-SAD argmin — mvp-independent, so
+                # the device pipeline precomputes its 49 qpel SADs in bulk
+                sy, sx = np.unravel_index(np.argmin(sads), sads.shape)
+                cx_i, cy_i = (int(sx) - W) * 4, (int(sy) - W) * 4
             best_mv = (mvx_i, mvy_i)
             if cfg.qpel:
-                # quarter-pel refinement ±3/4 around the best integer vector
-                # using the precomputed 16-phase planes (bit-identical to
-                # per-window interpolation; ops/interp.py)
+                # quarter-pel refinement ±3/4 around the pure-SAD integer
+                # vector using the precomputed 16-phase planes
+                # (bit-identical to per-window interpolation; ops/interp.py)
                 ext = self._interp_ext
                 for dy in range(-3, 4):
                     for dx in range(-3, 4):
                         if dx == 0 and dy == 0:
                             continue
-                        mvx, mvy = mvx_i + dx, mvy_i + dy
+                        mvx, mvy = cx_i + dx, cy_i + dy
                         frac = (mvy & 3) * 4 + (mvx & 3)
                         px = ax + (mvx >> 2) + ext
                         py = ay + (mvy >> 2) + ext
