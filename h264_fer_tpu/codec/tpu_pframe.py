@@ -1,0 +1,194 @@
+"""Device P-frame pipeline — bulk stages (no loop-carried dependencies).
+
+TPU-first decomposition of the reference's P-frame hot path
+(moestimation.cpp:392-585 interEncoding + mocomp.cpp MC): everything that
+does NOT depend on the in-frame MV-prediction chain runs as whole-frame
+batched work here; the sequential decisions (P_Skip, per-quadrant argmin
+with the |mv − mvp| cost, unify, mb_type merge, mvd) run in the MB
+wavefront (kernels/wavefront_p.py) consuming only these precomputed maps —
+no pixel work in the wavefront except the one skip-test/unify gather.
+
+Bulk stages:
+  - 16-phase interpolated planes (ops/interp.py interpolated_planes_jax,
+    the FillInterpolatedRefFrame analog, moestimation.cpp:74-173)
+  - per-8x8-block integer score map over the ±window full search
+    (basicInterEncoding envelope, moestimation.cpp:298-390) via shifted
+    whole-plane metric passes — no gathers
+  - two 49-position quarter-pel refinement maps per block, centered on
+    (1) the pure-distortion integer argmin and (2) the previous frame's
+    co-located MV (codec/encoder.py _search_mb's centers)
+  - per-MB adaptive MAXDIFF (moestimation.cpp:407-419)
+
+The distortion metric matches the host exactly (encoder._me_metric):
+SAD below QP36, SSD at QP36+, 2*SSD at QP45+ (with λ = 1/2/3).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def me_params(qp: int) -> tuple[int, int]:
+    """(metric_id, lambda): 0=SAD/λ1, 1=SSD/λ2, 2=2·SSD/λ3 — must match
+    encoder._me_metric/_me_lambda."""
+    if qp >= 45:
+        return 2, 3
+    if qp >= 36:
+        return 1, 2
+    return 0, 1
+
+
+def _metric(d, metric_id: int):
+    if metric_id == 0:
+        return jnp.abs(d)
+    d = d * d
+    return 2 * d if metric_id == 2 else d
+
+
+def block_sums_8x8(x, hb: int, wb: int):
+    """(H, W) -> per-8x8-block sums (hb*wb,) in raster block order."""
+    return x.reshape(hb, 8, wb, 8).sum(axis=(1, 3)).reshape(hb * wb)
+
+
+def integer_score_map(src_y, plane0, ext: int, window: int, metric_id: int):
+    """Distortion of every 8x8 block vs every integer shift in ±window.
+
+    plane0: planes[0] from interpolated_planes_jax (edge-extended by ext >=
+    window). Returns (nb, S*S) int32, shift index s = (dy+W)*(2W+1)+(dx+W)
+    — row-major (dy, dx), matching np.argmin tie-break order in the host.
+    """
+    H, W = src_y.shape
+    hb, wb = H // 8, W // 8
+    S = 2 * window + 1
+
+    def one_shift(s):
+        dy, dx = s // S, s % S
+        win = jax.lax.dynamic_slice(
+            plane0, (ext - window + dy, ext - window + dx), (H, W))
+        return block_sums_8x8(_metric(win - src_y, metric_id), hb, wb)
+
+    m = jax.lax.map(one_shift, jnp.arange(S * S))  # (S2, nb)
+    return m.T.astype(jnp.int32)
+
+
+def qpel_refine_map(src_y, planes, center_mv, ext: int, metric_id: int,
+                    radius: int = 3):
+    """Distortion at the (2r+1)^2 qpel offsets around a per-block center.
+
+    src_y: (H, W); planes: (16, he, we); center_mv: (nb, 2) qpel MVs whose
+    every offset stays inside the planes (callers range-check).
+    Returns (nb, (2r+1)^2) int32, offset index k = (dy+r)*(2r+1)+(dx+r).
+    """
+    H, W = src_y.shape
+    hb, wb = H // 8, W // 8
+    nb = hb * wb
+    src_blk = src_y.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3)  # (hb,wb,8,8)
+    src_blk = src_blk.reshape(nb, 8, 8)
+    bx0 = (jnp.arange(nb) % wb) * 8
+    by0 = (jnp.arange(nb) // wb) * 8
+    ii = jnp.arange(8)
+
+    cols = []
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            mvx = center_mv[:, 0] + dx
+            mvy = center_mv[:, 1] + dy
+            frac = (mvy & 3) * 4 + (mvx & 3)  # (nb,)
+            px = bx0 + (mvx >> 2) + ext
+            py = by0 + (mvy >> 2) + ext
+            # (nb, 8, 8) gather from the 16-plane stack
+            win = planes[frac[:, None, None],
+                         py[:, None, None] + ii[None, :, None],
+                         px[:, None, None] + ii[None, None, :]]
+            cols.append(_metric(win - src_blk, metric_id).sum(axis=(1, 2)))
+    return jnp.stack(cols, axis=-1).astype(jnp.int32)
+
+
+def adaptive_maxdiff(src_y, wmb: int, hmb: int, cfg_maxdiff: int):
+    """Per-MB MAXDIFF (moestimation.cpp:407-419): mean |src - mean|, floor
+    3 — or the configured constant."""
+    nmb = wmb * hmb
+    mb = src_y.reshape(hmb, 16, wmb, 16).transpose(0, 2, 1, 3)
+    mb = mb.reshape(nmb, 256)
+    if cfg_maxdiff != -1:
+        return jnp.full((nmb,), cfg_maxdiff, jnp.int32)
+    mean = mb.sum(axis=1) // 256
+    mad = jnp.abs(mb - mean[:, None]).sum(axis=1) // 256
+    return jnp.maximum(mad, 3).astype(jnp.int32)
+
+
+def mb_window_gather(planes, mv, mb_x, mb_y, ext: int):
+    """16x16 luma prediction windows at per-MB qpel MVs (one MV per MB).
+
+    planes: (16, he, we); mv: (n, 2); mb_x/mb_y: (n,) MB coords.
+    Returns (n, 16, 16) int32. Used by the wavefront's skip test and unify
+    scoring (the only pixel work inside the wavefront).
+    """
+    frac = (mv[:, 1] & 3) * 4 + (mv[:, 0] & 3)
+    px = mb_x * 16 + (mv[:, 0] >> 2) + ext
+    py = mb_y * 16 + (mv[:, 1] >> 2) + ext
+    ii = jnp.arange(16)
+    return planes[frac[:, None, None],
+                  py[:, None, None] + ii[None, :, None],
+                  px[:, None, None] + ii[None, None, :]]
+
+
+def mc_luma_bulk(planes, mv, ext: int, wmb: int, hmb: int):
+    """Whole-frame luma MC at the final per-quadrant MVs.
+
+    mv: (nmb, 4, 2) quadrant-major qpel MVs. Returns (H, W) int32 pred.
+    """
+    nmb = wmb * hmb
+    q = jnp.arange(4)
+    mb = jnp.arange(nmb)
+    mbx = (mb % wmb)[:, None] * 16 + (q[None, :] & 1) * 8
+    mby = (mb // wmb)[:, None] * 16 + (q[None, :] >> 1) * 8
+    mvx = mv[:, :, 0]
+    mvy = mv[:, :, 1]
+    frac = (mvy & 3) * 4 + (mvx & 3)
+    px = mbx + (mvx >> 2) + ext
+    py = mby + (mvy >> 2) + ext
+    ii = jnp.arange(8)
+    win = planes[frac[:, :, None, None],
+                 py[:, :, None, None] + ii[None, None, :, None],
+                 px[:, :, None, None] + ii[None, None, None, :]]
+    # (nmb, 4, 8, 8) -> (H, W)
+    win = win.reshape(hmb, wmb, 2, 2, 8, 8)
+    win = win.transpose(0, 2, 4, 1, 3, 5)
+    return win.reshape(hmb * 16, wmb * 16)
+
+
+def mc_chroma_bulk(c_pad, mv, ext_c: int, wmb: int, hmb: int):
+    """Whole-frame chroma MC (eighth-pel bilinear, mocomp.cpp:176-195).
+
+    c_pad: pad_chroma_jax(ref_c, ext_c); mv: (nmb, 4, 2). Returns
+    (H/2, W/2) int32 pred for one chroma plane.
+    """
+    nmb = wmb * hmb
+    q = jnp.arange(4)
+    mb = jnp.arange(nmb)
+    cx0 = (mb % wmb)[:, None] * 8 + (q[None, :] & 1) * 4
+    cy0 = (mb // wmb)[:, None] * 8 + (q[None, :] >> 1) * 4
+    mvx = mv[:, :, 0]
+    mvy = mv[:, :, 1]
+    cx = cx0 + (mvx >> 3) + ext_c + 1
+    cy = cy0 + (mvy >> 3) + ext_c + 1
+    fx = (mvx & 7)[:, :, None, None]
+    fy = (mvy & 7)[:, :, None, None]
+    ii = jnp.arange(4)
+    ys = cy[:, :, None, None] + ii[None, None, :, None]
+    xs = cx[:, :, None, None] + ii[None, None, None, :]
+    a = c_pad[ys, xs]
+    b = c_pad[ys, xs + 1]
+    c = c_pad[ys + 1, xs]
+    d = c_pad[ys + 1, xs + 1]
+    out = ((8 - fx) * (8 - fy) * a + fx * (8 - fy) * b
+           + (8 - fx) * fy * c + fx * fy * d + 32) >> 6
+    out = out.reshape(hmb, wmb, 2, 2, 4, 4)
+    out = out.transpose(0, 2, 4, 1, 3, 5)
+    return out.reshape(hmb * 8, wmb * 8)
