@@ -122,6 +122,59 @@ def adaptive_maxdiff(src_y, wmb: int, hmb: int, cfg_maxdiff: int):
     return jnp.maximum(mad, 3).astype(jnp.int32)
 
 
+def _blocks_to_mbq(x, wmb: int, hmb: int):
+    """(nb, ...) raster 8x8-block order -> (nmb, 4, ...) MB-quadrant order
+    (block (2r+qy, 2c+qx) = quadrant q of MB (r, c))."""
+    tail = x.shape[1:]
+    x = x.reshape(hmb, 2, wmb, 2, *tail)
+    x = jnp.moveaxis(x, 2, 1)  # (hmb, wmb, 2, 2, ...)
+    return x.reshape(hmb * wmb, 4, *tail)
+
+
+def pframe_maps(src_y, planes, prev_mv, wmb: int, hmb: int, window: int,
+                qp: int):
+    """All bulk ME maps for the decision wavefront, MB-quadrant layout.
+
+    src_y: (H, W) int32; planes: interpolated_planes_jax(ref_y, ext) with
+    ext = window + 2; prev_mv: (nmb, 4, 2) previous frame's final MVs
+    (zeros after IDR). Returns dict consumed by
+    kernels/wavefront_p.pframe_decide.
+    """
+    ext = window + 2
+    metric_id, lam = me_params(qp)
+    S = 2 * window + 1
+    im = integer_score_map(src_y, planes[0], ext, window, metric_id)
+    k = jnp.argmin(im, axis=1)  # pure-distortion argmin, (dy, dx) ties
+    c1 = jnp.stack([(k % S - window) * 4, (k // S - window) * 4],
+                   axis=-1).astype(jnp.int32)
+    q1 = qpel_refine_map(src_y, planes, c1, ext, metric_id)
+    lim = ext * 4 - 4
+    c2_mbq = prev_mv.astype(jnp.int32)
+    q2ok = (jnp.abs(c2_mbq) <= lim - 3).all(axis=-1)  # (nmb, 4)
+    c2_blk = jnp.clip(  # clamp so masked-out gathers stay in bounds
+        _mbq_to_blocks(c2_mbq, wmb, hmb), -(lim - 3), lim - 3)
+    q2 = qpel_refine_map(src_y, planes, c2_blk, ext, metric_id)
+    return {
+        "int_map": _blocks_to_mbq(im, wmb, hmb),
+        "c1mv": _blocks_to_mbq(c1, wmb, hmb),
+        "q1map": _blocks_to_mbq(q1, wmb, hmb),
+        "c2mv": jnp.clip(c2_mbq, -(lim - 3), lim - 3),
+        "q2map": _blocks_to_mbq(q2, wmb, hmb),
+        "q2ok": q2ok,
+        "metric_id": metric_id,
+        "lam": lam,
+        "ext": ext,
+    }
+
+
+def _mbq_to_blocks(x, wmb: int, hmb: int):
+    """(nmb, 4, ...) -> (nb, ...) inverse of _blocks_to_mbq."""
+    tail = x.shape[2:]
+    x = x.reshape(hmb, wmb, 2, 2, *tail)
+    x = jnp.moveaxis(x, 1, 2)  # (hmb, 2, wmb, 2, ...)
+    return x.reshape(hmb * 2 * wmb * 2, *tail)
+
+
 def mb_window_gather(planes, mv, mb_x, mb_y, ext: int):
     """16x16 luma prediction windows at per-MB qpel MVs (one MV per MB).
 
