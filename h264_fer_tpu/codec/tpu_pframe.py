@@ -216,6 +216,108 @@ def mc_luma_bulk(planes, mv, ext: int, wmb: int, hmb: int):
     return win.reshape(hmb * 16, wmb * 16)
 
 
+def _mb_zblocks(frame, wmb: int, hmb: int):
+    """(H, W) -> (nmb, 16, 4, 4) Z-scan 4x4 blocks (Intra4x4ScanOrder)."""
+    nmb = wmb * hmb
+    g = frame.reshape(hmb, 16, wmb, 16).transpose(0, 2, 1, 3)
+    g = g.reshape(nmb, 16, 16)
+    b = g.reshape(nmb, 2, 2, 4, 2, 2, 4)
+    b = jnp.moveaxis(b, (-6, -3, -5, -2), (-6, -5, -4, -3))
+    return b.reshape(nmb, 16, 4, 4)
+
+
+def _zblocks_mb(blocks, wmb: int, hmb: int):
+    """(nmb, 16, 4, 4) Z-scan -> (H, W); inverse of _mb_zblocks."""
+    nmb = wmb * hmb
+    b = blocks.reshape(nmb, 2, 2, 2, 2, 4, 4)
+    b = jnp.moveaxis(b, (-6, -5, -4, -3), (-6, -3, -5, -2))
+    g = b.reshape(hmb, wmb, 16, 16)
+    return g.transpose(0, 2, 1, 3).reshape(hmb * 16, wmb * 16)
+
+
+def _mb_cblocks(frame, wmb: int, hmb: int):
+    """(H/2, W/2) -> (nmb, 4, 4, 4) raster 4x4 chroma blocks."""
+    nmb = wmb * hmb
+    g = frame.reshape(hmb, 8, wmb, 8).transpose(0, 2, 1, 3).reshape(nmb, 8, 8)
+    b = g.reshape(nmb, 2, 4, 2, 4)
+    return b.transpose(0, 1, 3, 2, 4).reshape(nmb, 4, 4, 4)
+
+
+def _cblocks_mb(blocks, wmb: int, hmb: int):
+    nmb = wmb * hmb
+    b = blocks.reshape(nmb, 2, 2, 4, 4).transpose(0, 1, 3, 2, 4)
+    g = b.reshape(hmb, wmb, 8, 8)
+    return g.transpose(0, 2, 1, 3).reshape(hmb * 8, wmb * 8)
+
+
+def pframe_residual_recon(src_y, src_cb, src_cr, pred_y, pred_cb, pred_cr,
+                          skip, maxdiff, wmb: int, hmb: int, qp: int,
+                          qpc: int, prefilter: bool):
+    """Bulk residual transform/quant + reconstruction for a decided
+    P frame (the per-MB quantizationTransform + transform-decoding pipe,
+    quantizationTransform.cpp:349-486 / inttransform.cpp:133-321, plus
+    the MAXDIFF source prefilter moestimation.cpp:570-584).
+
+    Returns (levels dict, recon planes). Skipped MBs get zero levels and
+    recon = clip(pred) (transformDecodingP_Skip).
+    """
+    from ..ops import transform
+
+    nmb = wmb * hmb
+    skip_px = jnp.repeat(jnp.repeat(
+        skip.reshape(hmb, wmb), 16, axis=0), 16, axis=1)
+    md_px = jnp.repeat(jnp.repeat(
+        maxdiff.reshape(hmb, wmb), 16, axis=0), 16, axis=1)
+    if prefilter:
+        lm = (jnp.abs(src_y - pred_y) < md_px) & ~skip_px
+        src_y = jnp.where(lm, pred_y, src_y)
+        md_c = md_px[::2, ::2]
+        sk_c = skip_px[::2, ::2]
+        cm_b = (jnp.abs(src_cb - pred_cb) <= md_c) & ~sk_c
+        src_cb = jnp.where(cm_b, pred_cb, src_cb)
+        cm_r = (jnp.abs(src_cr - pred_cr) <= md_c) & ~sk_c
+        src_cr = jnp.where(cm_r, pred_cr, src_cr)
+
+    # luma: 16 Z-scan 4x4 blocks per MB, inter quant (no DC bypass)
+    diff = _mb_zblocks(src_y - pred_y, wmb, hmb)
+    d = transform.forward_transform_4x4(diff)
+    q = transform.quantize_residual(d, qp, False)
+    luma_levels = transform.zigzag_scan(q)  # (nmb, 16, 16)
+    luma_levels = jnp.where(skip[:, None, None], 0, luma_levels)
+
+    # chroma: 4 raster blocks per MB per plane + 2x2 DC Hadamard
+    cdc_list = []
+    cac_list = []
+    for src_c, pred_c in ((src_cb, pred_cb), (src_cr, pred_cr)):
+        dc_ = _mb_cblocks(src_c - pred_c, wmb, hmb)
+        dcq = transform.quantize_residual(
+            transform.forward_transform_4x4(dc_), qpc, True)
+        dc2 = dcq[:, :, 0, 0].reshape(nmb, 2, 2)
+        qdc = transform.forward_dc_chroma(dc2, qpc)
+        cdc_list.append(qdc.reshape(nmb, 4))
+        cac_list.append(transform.zigzag_scan(dcq)[:, :, 1:])
+    cdc = jnp.stack(cdc_list)  # (2, nmb, 4)
+    cac = jnp.stack(cac_list)  # (2, nmb, 4, 15)
+    cdc = jnp.where(skip[None, :, None], 0, cdc)
+    cac = jnp.where(skip[None, :, None, None], 0, cac)
+
+    # reconstruction
+    res_y = transform.inverse_residual(
+        transform.zigzag_unscan(luma_levels), qp, False)
+    recon_y = jnp.clip(pred_y + _zblocks_mb(res_y, wmb, hmb), 0, 255)
+    recon_c = []
+    for ci, pred_c in enumerate((pred_cb, pred_cr)):
+        dcv = transform.inverse_dc_chroma(cdc[ci].reshape(nmb, 2, 2), qpc)
+        full = jnp.concatenate(
+            [dcv.reshape(nmb, 4, 1), cac[ci]], axis=-1)
+        res = transform.inverse_residual(
+            transform.zigzag_unscan(full), qpc, True)
+        recon_c.append(jnp.clip(pred_c + _cblocks_mb(res, wmb, hmb), 0, 255))
+
+    levels = {"luma": luma_levels, "cdc": cdc, "cac": cac}
+    return levels, recon_y, recon_c[0], recon_c[1]
+
+
 def mc_chroma_bulk(c_pad, mv, ext_c: int, wmb: int, hmb: int):
     """Whole-frame chroma MC (eighth-pel bilinear, mocomp.cpp:176-195).
 

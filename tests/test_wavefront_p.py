@@ -79,6 +79,77 @@ def test_pframe_decisions_match_host(fixtures_dir, qp):
         Encoder._inter_encode_mb = orig
 
 
+@pytest.mark.parametrize("qp", [28, 40])
+def test_pframe_residual_recon_matches_host(fixtures_dir, qp):
+    from h264_fer_tpu.codec.tpu_pframe import (
+        adaptive_maxdiff,
+        mc_chroma_bulk,
+        mc_luma_bulk,
+        pframe_residual_recon,
+    )
+    from h264_fer_tpu.ops.interp import pad_chroma_jax
+
+    frames = list(Y4MReader(str(fixtures_dir / "clip_qcif_10f.y4m")))[:2]
+    w, h = 176, 144
+    wmb, hmb = w // 16, h // 16
+    nmb = wmb * hmb
+
+    enc = Encoder(w, h, EncoderConfig(qp=qp, intra_every=100))
+    rec = {}
+    orig = Encoder._inter_encode_mb
+
+    def wrap(self, curr):
+        res = orig(self, curr)
+        rec[curr] = res
+        return res
+
+    Encoder._inter_encode_mb = wrap
+    try:
+        enc.encode_frame(*frames[0])
+        ref_y = enc.ref_y.copy()
+        ref_cb = enc.ref_cb.copy()
+        ref_cr = enc.ref_cr.copy()
+        prev_mv = enc.prev_mv[:, :, 0, :].copy()
+        enc.encode_frame(*frames[1])
+        host_mv = enc.mv[:, :, 0, :].copy()
+    finally:
+        Encoder._inter_encode_mb = orig
+
+    window = enc.cfg.window_size // 2
+    ext = window + 2
+    planes = interpolated_planes_jax(jnp.asarray(ref_y), ext=ext)
+    src_y = jnp.asarray(frames[1][0].astype(np.int32))
+    mv = jnp.asarray(host_mv)
+    skip = jnp.asarray(np.array([rec[c] is None for c in range(nmb)]))
+    maxdiff = adaptive_maxdiff(src_y, wmb, hmb, -1)
+    pred_y = mc_luma_bulk(planes, mv, ext, wmb, hmb)
+    ext_c = ext // 2 + 1
+    pred_cb = mc_chroma_bulk(
+        pad_chroma_jax(jnp.asarray(ref_cb), ext_c), mv, ext_c, wmb, hmb)
+    pred_cr = mc_chroma_bulk(
+        pad_chroma_jax(jnp.asarray(ref_cr), ext_c), mv, ext_c, wmb, hmb)
+    levels, ry, rcb, rcr = pframe_residual_recon(
+        src_y, jnp.asarray(frames[1][1].astype(np.int32)),
+        jnp.asarray(frames[1][2].astype(np.int32)),
+        pred_y, pred_cb, pred_cr, skip, maxdiff, wmb, hmb,
+        enc.qpy, enc.qpc, prefilter=qp < 36)
+
+    assert np.array_equal(np.asarray(ry), enc.y)
+    assert np.array_equal(np.asarray(rcb), enc.cb)
+    assert np.array_equal(np.asarray(rcr), enc.cr)
+    lv = np.asarray(levels["luma"])
+    cdc = np.asarray(levels["cdc"])
+    cac = np.asarray(levels["cac"])
+    for curr in range(nmb):
+        if rec[curr] is None:
+            assert not lv[curr].any()
+            continue
+        (_, _, _, _, _, _, h_lv, h_cdc, h_cac, h_cbpl, h_cbpc) = rec[curr]
+        assert np.array_equal(lv[curr], h_lv), curr
+        assert np.array_equal(cdc[:, curr], h_cdc), curr
+        assert np.array_equal(cac[:, curr], h_cac), curr
+
+
 def _host_maxdiff(src_y, wmb, hmb):
     out = np.zeros(wmb * hmb, np.int32)
     s = src_y.astype(np.int32)
