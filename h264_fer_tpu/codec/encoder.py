@@ -60,7 +60,8 @@ _I4_GATE = {0: "top", 1: "left", 3: "top", 4: "corner", 5: "corner",
 
 class Encoder:
     def __init__(self, width: int, height: int, cfg: EncoderConfig,
-                 tpu_pipeline=None, tpu_me=None, tpu_iframe: bool = False) -> None:
+                 tpu_pipeline=None, tpu_me=None, tpu_iframe: bool = False,
+                 tpu_pframe: bool = False) -> None:
         """`tpu_pipeline`: optional TpuIntraPipeline. Whole-frame intra
         mode pre-decision on device (the reference's GPU-offload analog,
         rbsp_encoding.cpp:144 + intra.cpp:961-977); the exact bit-cost
@@ -114,6 +115,10 @@ class Encoder:
         # payload; reconstruction/state stay device-resident until
         # something on the host needs them (_materialize).
         self.tpu_iframe = tpu_iframe
+        # all-device P-frame path (codec/tpu_pframe.py): interp planes +
+        # ME maps + decision wavefront + MC/residual/recon + slice entropy
+        # in one jitted program; byte-identical to the host per-MB loop
+        self.tpu_pframe = tpu_pframe
         self.tpu_entropy = True  # device slice entropy (tpu_entropy.py);
         # False falls back to the native host packer on read-back levels
         self._pending = None  # device-resident frame outputs awaiting sync
@@ -167,7 +172,7 @@ class Encoder:
             self._me_cands = self.tpu_me(y.astype(np.int32), self.ref_y)
         else:
             self._me_cands = None
-        if not is_idr:
+        if not is_idr and not self.tpu_pframe:
             # 16-phase interpolated reference planes for qpel search
             # (FillInterpolatedRefFrame analog, moestimation.cpp:74-173)
             from ..ops.interp import interpolated_planes, pad_chroma
@@ -295,6 +300,10 @@ class Encoder:
         shd.write(w, self.sps, self.pps, nal_type, 1)
 
         self.slice_type = slice_type
+        if slice_type == P_SLICE and self.tpu_pframe:
+            self._device_pframe_encode_full(w)
+            w.rbsp_trailing_bits()
+            return w.getvalue()
         if slice_type == I_SLICE and self.tpu_iframe and self.tpu_pipeline:
             if self.tpu_entropy:
                 # fully-device: recon + packed slice bits on TPU; splice
@@ -922,6 +931,96 @@ class Encoder:
         words = np.asarray(out["words"][: min(bucket, out["words"].shape[0])])
         w.append_bits(words_to_bytes(words, nbits), nbits)
         self._pending = out
+
+    def _device_pframe_encode_full(self, w: BitWriter) -> None:
+        """Fully-device P-frame (codec/tpu_pframe.py): one jitted program
+        computes ME maps, the decision wavefront, MC + residual +
+        reconstruction, and the packed slice payload. The host splices
+        the payload, writes back the per-MB state with the host path's
+        exact update semantics (stale-on-ungated-blocks included), and
+        applies the decoder's trailing-skip-drop emulation."""
+        import jax.numpy as jnp
+
+        from ..ops.cavlc_jax import words_to_bytes
+        from .tpu_pframe import device_p_frame
+
+        prev_state = (
+            self.mb_type.copy(), self.mb_intra.copy(), self.mb_i4x4.copy(),
+            self.mv.copy(), self.tc_luma.copy(), self.tc_chroma.copy(),
+            self.cbp_luma.copy(), self.cbp_chroma.copy(), self.nz_luma.copy(),
+        )
+        nmb = self.nmb
+        tiers = [nmb * 24, nmb * 192, None]
+        for nw in tiers:
+            out = device_p_frame(
+                jnp.asarray(self.y), jnp.asarray(self.cb),
+                jnp.asarray(self.cr),
+                jnp.asarray(self.ref_y), jnp.asarray(self.ref_cb),
+                jnp.asarray(self.ref_cr),
+                jnp.asarray(self.prev_mv[:, :, 0, :]),
+                wmb=self.wmb, hmb=self.hmb,
+                window=self.cfg.window_size // 2,
+                qp=self.qpy, qpc=self.qpc,
+                cfg_maxdiff=self.cfg.maxdiff,
+                prefilter=bool(self.cfg.lossy_prefilter and self.qpy < 36),
+                nw=nw)
+            nbits = int(out["nbits"])
+            if nw is None or nbits <= 32 * nw:
+                break
+        nwords = (nbits + 31) // 32
+        step = max(1024, (1 << (nwords - 1).bit_length()) // 8)
+        bucket = -(-nwords // step) * step
+        words = np.asarray(out["words"][: min(bucket, out["words"].shape[0])])
+        w.append_bits(words_to_bytes(words, nbits), nbits)
+
+        # state writeback with host-loop semantics (_inter_encode_mb /
+        # _write_inter_mb / _residual_bits): skip and residual-less MBs
+        # zero their TC state; gated-off blocks keep the previous frame's
+        # values (never read — every consumer re-gates by CBP/skip)
+        skip = np.asarray(out["skip"])
+        coded = ~skip
+        raw_type = np.asarray(out["raw_type"])
+        cbp_l = np.asarray(out["cbp_luma"])
+        cbp_c = np.asarray(out["cbp_chroma"])
+        has_resid = (cbp_l > 0) | (cbp_c > 0)
+        zero_tc = skip | (coded & ~has_resid)
+        coded_blk = np.asarray(out["coded_blk"])
+        self.mb_type[:] = np.where(skip, MB_SKIP, raw_type)
+        self.mb_intra[:] = False
+        self.mb_i4x4[:] = False
+        mv = np.asarray(out["mv"])
+        self.mv[:] = mv[:, :, None, :]
+        self.cbp_luma[:] = np.where(coded, cbp_l, self.cbp_luma)
+        self.cbp_chroma[:] = np.where(coded, cbp_c, self.cbp_chroma)
+        tc_l = np.asarray(out["tc_luma"])
+        self.tc_luma[:] = np.where(
+            zero_tc[:, None], 0,
+            np.where(coded_blk, tc_l, self.tc_luma))
+        tc_c = np.asarray(out["tc_chroma"])
+        self.tc_chroma[:] = np.where(
+            zero_tc[None, :, None], 0,
+            np.where((cbp_c == 2)[None, :, None], tc_c, self.tc_chroma))
+        self.nz_luma[:] = np.asarray(out["nz_luma"])
+        self.y = np.array(out["recon_y"])
+        self.cb = np.array(out["recon_cb"])
+        self.cr = np.array(out["recon_cr"])
+
+        # trailing-skip drop emulation (see the host loop below): when
+        # everything after the last coded MB fits in the final RBSP byte,
+        # decoders never read the trailing run — those MBs keep their
+        # previous-frame pixels and state
+        trail_bits = int(out["trail_bits"])
+        trail_run = int(skip[::-1].argmin()) if coded.any() else nmb
+        if trail_bits > 0 and coded.any():
+            total_bits = w.bit_position
+            rbsp_len = (total_bits + 1 + 7) // 8  # + rbsp stop bit
+            if (total_bits - trail_bits) // 8 >= rbsp_len - 1:
+                self._drop_tail_skips(
+                    range(nmb - trail_run, nmb), prev_state)
+        if self.cfg.deblock:
+            from .loopfilter import deblock_frame
+
+            deblock_frame(self)
 
     def _intra_encode_frame_native(self, w: BitWriter) -> bool:
         """Whole-slice macroblock_layer entropy via the native C++ backend

@@ -30,6 +30,7 @@ from ..ops.cavlc_jax import (
     finalize_symbols,
     nc_to_ctx,
     pack_symbols,
+    se_code,
     ue_code,
 )
 
@@ -236,6 +237,111 @@ def mixed_slice_entropy(choice4, mode16, cmode, i16dc, i16ac, lv4,
         "tc_chroma": ch["tc_chroma"],
         "nz_luma": nz_luma,
     }
+
+
+def p_slice_entropy_impl(skip, mb_type, mvd, luma_levels, cdc, cac,
+                         wmb: int, hmb: int, nw: int | None = None):
+    """Whole-slice macroblock_layer bits for a P frame, on device.
+
+    The P-slice analog of i16_slice_entropy covering the reference's
+    inter syntax (rbsp_encoding.cpp:179-299): mb_skip_run run-lengths,
+    ue(mb_type), sub_mb_types for P_8x8, se(mvd) per partition, the
+    inter CBP mapping, and the CBP-gated residual blocks with
+    neighbour-TotalCoeff nC (skip MBs contribute tc=0 through the
+    cbp gating, matching encoder._nc_pair's MB_SKIP rule).
+
+    skip: (nmb,) bool; mb_type: (nmb,) raw inter type 0..4 (ignored at
+    skip MBs); mvd: (nmb, 4, 2) per-part mvds; luma_levels:
+    (nmb, 16, 16) Z-scan; cdc: (2, nmb, 4); cac: (2, nmb, 4, 15) —
+    levels must be zero at skip MBs.
+
+    Returns dict: words, nbits, trail_bits (bits of the trailing
+    mb_skip_run symbol — 0 when the slice ends on a coded MB; the host
+    needs it for the decoder's trailing-skip-drop emulation), cbp_luma,
+    cbp_chroma, tc_luma, tc_chroma, nz_luma.
+    """
+    nmb = wmb * hmb
+    coded = ~skip
+    idx = jnp.arange(nmb, dtype=jnp.int32)
+
+    # mb_skip_run before each coded MB (exclusive running max of coded idx)
+    marks = jnp.where(coded, idx, -1)
+    inc = jax.lax.associative_scan(jnp.maximum, marks)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), inc[:-1]])
+    run = idx - prev - 1
+    last_coded = inc[-1]
+    trail_run = nmb - 1 - last_coded  # 0 when the last MB is coded
+
+    # CBP from levels (setCodedBlockPattern; levels zero at skip MBs)
+    quad_any = luma_levels.reshape(nmb, 4, 64).any(axis=-1)  # Z-scan quads
+    cbp_l = (quad_any.astype(jnp.int32)
+             << jnp.arange(4, dtype=jnp.int32)).sum(axis=-1)
+    ch = chroma_setup(cdc, cac, wmb, hmb)
+    cbp_c = ch["cbp_chroma"]
+
+    # luma residual symbols: 16 blocks of maxNumCoeff 16 per MB
+    lv_blk = block_symbols_bulk(luma_levels, 16)
+    quad_gate = quad_any[:, :, None] & jnp.ones((1, 1, 4), bool)
+    quad_gate = quad_gate.reshape(nmb, 16)  # per-block: its quad coded
+    tc_luma = jnp.where(quad_gate, lv_blk["tc"], 0)
+    nc_l = _nc_luma_grid(tc_luma, tc_luma, cbp_l, cbp_l, wmb, hmb)
+    lv_vals, lv_lens = finalize_symbols(lv_blk, nc_to_ctx(nc_l))
+    lv_lens = jnp.where(quad_gate[..., None], lv_lens, 0)
+
+    # header symbols
+    h_run_v, h_run_l = ue_code(run)
+    h_t_v, h_t_l = ue_code(mb_type)
+    sub_v = jnp.ones((nmb, 4), jnp.int32)
+    sub_l = jnp.where((mb_type >= 3)[:, None], 1, 0) * jnp.ones(
+        (nmb, 4), jnp.int32)
+    nparts = jnp.asarray(np.array([1, 2, 2, 4, 4], np.int32))[
+        jnp.clip(mb_type, 0, 4)]
+    mvd_v, mvd_l = se_code(mvd.reshape(nmb, 8))
+    part_ok = (jnp.arange(4)[None] < nparts[:, None])
+    mvd_l = mvd_l * jnp.repeat(part_ok, 2, axis=1).astype(jnp.int32)
+    cbp_tab = jnp.asarray(T.CBP_TO_CODENUM_INTER)
+    h_c_v, h_c_l = ue_code(cbp_tab[(cbp_c << 4) | cbp_l])
+    has_resid = (cbp_l > 0) | (cbp_c > 0)
+    qdl = has_resid.astype(jnp.int32)
+
+    vals = jnp.concatenate([
+        h_run_v[:, None], h_t_v[:, None], sub_v, mvd_v,
+        h_c_v[:, None], jnp.ones((nmb, 1), jnp.int32),
+        lv_vals.reshape(nmb, -1),
+        jnp.moveaxis(ch["cdc_vals"], 1, 0).reshape(nmb, -1),
+        jnp.moveaxis(ch["cac_vals"], 1, 0).reshape(nmb, -1),
+    ], axis=-1)
+    lens = jnp.concatenate([
+        h_run_l[:, None], h_t_l[:, None], sub_l, mvd_l,
+        h_c_l[:, None], qdl[:, None],
+        lv_lens.reshape(nmb, -1),
+        jnp.moveaxis(ch["cdc_lens"], 1, 0).reshape(nmb, -1),
+        jnp.moveaxis(ch["cac_lens"], 1, 0).reshape(nmb, -1),
+    ], axis=-1)
+    lens = jnp.where(coded[:, None], lens, 0)
+
+    # trailing skip run (written when the slice ends on skips)
+    t_v, t_l = ue_code(trail_run)
+    t_l = jnp.where(trail_run > 0, t_l, 0)
+    flat_v = jnp.concatenate([vals.reshape(-1), t_v[None]])
+    flat_l = jnp.concatenate([lens.reshape(-1), t_l[None]])
+    words, nbits = pack_symbols(flat_v, flat_l, nw=nw)
+
+    return {
+        "words": words,
+        "nbits": nbits,
+        "trail_bits": t_l,
+        "cbp_luma": cbp_l,
+        "cbp_chroma": cbp_c,
+        "tc_luma": tc_luma,
+        "tc_chroma": ch["tc_chroma"],
+        "nz_luma": luma_levels.any(axis=-1),
+        "coded_blk": quad_gate,
+    }
+
+
+p_slice_entropy = functools.partial(
+    jax.jit, static_argnames=("wmb", "hmb", "nw"))(p_slice_entropy_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("wmb", "hmb", "nw"))

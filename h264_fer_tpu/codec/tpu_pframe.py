@@ -33,6 +33,65 @@ import jax
 import jax.numpy as jnp
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "wmb", "hmb", "window", "qp", "qpc", "cfg_maxdiff", "prefilter", "nw"))
+def device_p_frame(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr, prev_mv,
+                   wmb: int, hmb: int, window: int, qp: int, qpc: int,
+                   cfg_maxdiff: int, prefilter: bool,
+                   nw: int | None = None):
+    """Fully-device P-frame encode: interp planes → bulk ME maps →
+    decision wavefront → MC + residual + reconstruction → whole-slice
+    entropy. One jitted program per geometry; the host reads back the
+    packed payload, the per-MB state, and the recon planes.
+
+    src/ref planes: int32 (uint8 accepted); prev_mv: (nmb, 4, 2) previous
+    frame's final quadrant MVs (zeros after IDR). window = ±search range
+    in full pel (cfg.window_size // 2). Bit-identical to the host
+    per-MB path (tests/test_tpu_pframe.py).
+    """
+    from ..kernels.wavefront_p import pframe_decide_impl as pframe_decide
+    from ..ops.interp import interpolated_planes_jax, pad_chroma_jax
+    from .tpu_entropy import p_slice_entropy_impl as p_slice_entropy
+
+    src_y = src_y.astype(jnp.int32)
+    src_cb = src_cb.astype(jnp.int32)
+    src_cr = src_cr.astype(jnp.int32)
+    ref_y = ref_y.astype(jnp.int32)
+    ext = window + 2
+    planes = interpolated_planes_jax(ref_y, ext)
+    maps = pframe_maps(src_y, planes, prev_mv, wmb, hmb, window, qp)
+    maxdiff = adaptive_maxdiff(src_y, wmb, hmb, cfg_maxdiff)
+    dec = pframe_decide(
+        src_y, planes, maps["int_map"], maps["c1mv"], maps["q1map"],
+        maps["c2mv"], maps["q2map"], maps["q2ok"], maxdiff,
+        wmb=wmb, hmb=hmb, window=window, ext=ext,
+        metric_id=maps["metric_id"], lam=maps["lam"])
+
+    ext_c = ext // 2 + 1
+    pred_y = mc_luma_bulk(planes, dec["mv"], ext, wmb, hmb)
+    pred_cb = mc_chroma_bulk(
+        pad_chroma_jax(ref_cb.astype(jnp.int32), ext_c), dec["mv"],
+        ext_c, wmb, hmb)
+    pred_cr = mc_chroma_bulk(
+        pad_chroma_jax(ref_cr.astype(jnp.int32), ext_c), dec["mv"],
+        ext_c, wmb, hmb)
+    levels, recon_y, recon_cb, recon_cr = pframe_residual_recon(
+        src_y, src_cb, src_cr, pred_y, pred_cb, pred_cr, dec["skip"],
+        maxdiff, wmb, hmb, qp, qpc, prefilter)
+    ent = p_slice_entropy(
+        dec["skip"], dec["mb_type"], dec["mvd"], levels["luma"],
+        levels["cdc"], levels["cac"], wmb=wmb, hmb=hmb, nw=nw)
+    return {
+        "recon_y": recon_y,
+        "recon_cb": recon_cb,
+        "recon_cr": recon_cr,
+        "skip": dec["skip"],
+        "raw_type": dec["mb_type"],
+        "mv": dec["mv"],
+        **ent,
+    }
+
+
 def me_params(qp: int) -> tuple[int, int]:
     """(metric_id, lambda): 0=SAD/λ1, 1=SSD/λ2, 2=2·SSD/λ3 — must match
     encoder._me_metric/_me_lambda."""

@@ -152,11 +152,9 @@ def _metric(d, metric_id: int):
     return 2 * d if metric_id == 2 else d
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "wmb", "hmb", "window", "ext", "metric_id", "lam"))
-def pframe_decide(src_y, planes, int_map, c1mv, q1map, c2mv, q2map, q2ok,
-                  maxdiff, wmb: int, hmb: int, window: int, ext: int,
-                  metric_id: int, lam: int):
+def pframe_decide_impl(src_y, planes, int_map, c1mv, q1map, c2mv, q2map,
+                       q2ok, maxdiff, wmb: int, hmb: int, window: int,
+                       ext: int, metric_id: int, lam: int):
     """Run the P-frame decision wavefront.
 
     src_y: (H, W) int32 source. planes: (16, he, we) interp planes.
@@ -353,3 +351,7 @@ def pframe_decide(src_y, planes, int_map, c1mv, q1map, c2mv, q2map, q2ok,
         "mv": mvq[:hmb].reshape(nmb, 4, 2),
         "mvd": mvdg[:hmb].reshape(nmb, 4, 2),
     }
+
+
+pframe_decide = functools.partial(jax.jit, static_argnames=(
+    "wmb", "hmb", "window", "ext", "metric_id", "lam"))(pframe_decide_impl)
