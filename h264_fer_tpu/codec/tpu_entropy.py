@@ -41,14 +41,18 @@ _LUMA_NBR = [_luma_blk_neighbors(b) for b in range(16)]
 _CHROMA_NBR = [_chroma_blk_neighbors(b) for b in range(4)]
 
 
-def _nc_luma_grid(tc_own, tc_state, cbp_own, cbp_state, wmb: int, hmb: int):
+def _nc_luma_grid(tc_own, tc_state, cbp_own, cbp_state, wmb: int, hmb: int,
+                  top_ctx=None):
     """Per-block luma nC for every MB (residual.cpp:251-294 derivation +
     allNeighbouringZero CBP gating).
 
     tc_own/cbp_own: this MB's own (candidate) TCs (nmb, 16) / CBP (nmb,)
     used for in-MB chaining; tc_state/cbp_state: the final per-MB state
     grids used for cross-MB reads (identical to own for the all-I16 path).
-    Returns (nmb, 16) int32 nC.
+    top_ctx: optional (top_tc (wmb, 16), top_cbp (wmb,), top_valid bool
+    scalar) — the final state of the MB row above the first row, for
+    MB-row-band tile sharding (parallel/tile.py); top_valid is False on
+    the topmost tile. Returns (nmb, 16) int32 nC.
     """
     nmb = wmb * hmb
     mb = jnp.arange(nmb)
@@ -79,6 +83,14 @@ def _nc_luma_grid(tc_own, tc_state, cbp_own, cbp_state, wmb: int, hmb: int):
         else:
             nB = gated(tc_state, cbp_state, top_mb, b_blk)
             b_ok = ~top_edge
+            if top_ctx is not None:
+                top_tc, top_cbp, top_valid = top_ctx
+                col = mb % wmb
+                nB_halo = jnp.where(
+                    (top_cbp[col] >> (b_blk // 4)) & 1 != 0,
+                    top_tc[col, b_blk], 0)
+                nB = jnp.where(top_edge, nB_halo, nB)
+                b_ok = b_ok | (top_edge & top_valid)
         nc = jnp.where(
             a_ok & b_ok, (nA + nB + 1) >> 1,
             jnp.where(a_ok, nA, jnp.where(b_ok, nB, 0)),
@@ -87,8 +99,10 @@ def _nc_luma_grid(tc_own, tc_state, cbp_own, cbp_state, wmb: int, hmb: int):
     return jnp.stack(cols, axis=-1)
 
 
-def _nc_chroma_grid(tc_c, cbp_c, wmb: int, hmb: int):
-    """(2, nmb, 4) chroma AC nC (cbp_chroma & 2 gating)."""
+def _nc_chroma_grid(tc_c, cbp_c, wmb: int, hmb: int, top_ctx=None):
+    """(2, nmb, 4) chroma AC nC (cbp_chroma & 2 gating). top_ctx:
+    optional (top_tc_c (2, wmb, 4), top_cbp_c (wmb,), top_valid) tile
+    halo — see _nc_luma_grid."""
     nmb = wmb * hmb
     mb = jnp.arange(nmb)
     left_edge = mb % wmb == 0
@@ -114,6 +128,13 @@ def _nc_chroma_grid(tc_c, cbp_c, wmb: int, hmb: int):
         else:
             nB = gated(top_mb, b_blk)
             b_ok = ~top_edge
+            if top_ctx is not None:
+                top_tc, top_cbp, top_valid = top_ctx
+                col = mb % wmb
+                nB_halo = jnp.where(
+                    (top_cbp[col] & 2) != 0, top_tc[:, col, blk], 0)
+                nB = jnp.where(top_edge[None], nB_halo, nB)
+                b_ok = b_ok | (top_edge & top_valid)
         nc = jnp.where(
             (a_ok & b_ok)[None], (nA + nB + 1) >> 1,
             jnp.where(a_ok[None], nA, jnp.where(b_ok[None], nB, 0)),
@@ -346,13 +367,18 @@ p_slice_entropy = functools.partial(
 
 @functools.partial(jax.jit, static_argnames=("wmb", "hmb", "nw"))
 def i16_slice_entropy(mode16, cmode, i16dc, i16ac, cdc, cac,
-                      wmb: int, hmb: int, nw: int | None = None):
+                      wmb: int, hmb: int, nw: int | None = None,
+                      top_ctx=None):
     """Whole-slice macroblock_layer bits for an all-I16 frame, on device.
 
     Returns dict: words (uint32 payload, bit 0 = first payload bit),
     nbits, mb_type, cbp_luma, cbp_chroma, tc_luma (nmb, 16),
     tc_chroma (2, nmb, 4) — the exact state the host writes back
     (matches native i16_frame_entropy).
+
+    top_ctx: optional cross-tile nC context for MB-row-band sharding
+    (parallel/tile.py): (top_tc_luma (wmb, 16), top_cbp_luma (wmb,),
+    top_tc_chroma (2, wmb, 4), top_cbp_chroma (wmb,), top_valid bool).
     """
     nmb = wmb * hmb
 
@@ -384,8 +410,15 @@ def i16_slice_entropy(mode16, cmode, i16dc, i16ac, cdc, cac,
 
     # nC resolution (cross-MB reads use the final state; in-MB chaining
     # uses the same arrays — identical here since every MB is I16)
-    nc_l = _nc_luma_grid(tc_luma, tc_luma, cbp_l, cbp_l, wmb, hmb)
-    nc_c = _nc_chroma_grid(tc_chroma, cbp_c, wmb, hmb)
+    if top_ctx is not None:
+        t_tc_l, t_cbp_l, t_tc_c, t_cbp_c, t_valid = top_ctx
+        luma_top = (t_tc_l, t_cbp_l, t_valid)
+        chroma_top = (t_tc_c, t_cbp_c, t_valid)
+    else:
+        luma_top = chroma_top = None
+    nc_l = _nc_luma_grid(tc_luma, tc_luma, cbp_l, cbp_l, wmb, hmb,
+                         top_ctx=luma_top)
+    nc_c = _nc_chroma_grid(tc_chroma, cbp_c, wmb, hmb, top_ctx=chroma_top)
 
     # coeff_token contexts; the DC block uses the luma nC of block 0
     dc_vals, dc_lens = finalize_symbols(dc_blk, nc_to_ctx(nc_l[:, 0]))

@@ -1,0 +1,65 @@
+"""GOP-axis sharded end-to-end encode: byte parity with the serial
+device-path encoder on the virtual 8-device mesh (SURVEY.md §2.4 GOP row,
+BASELINE.json config 5)."""
+
+import numpy as np
+import pytest
+
+from h264_fer_tpu.codec.encoder import Encoder, EncoderConfig
+from h264_fer_tpu.parallel.gop_device import GopIntraEncoder
+from h264_fer_tpu.vio.y4m import Y4MReader
+
+
+@pytest.fixture(scope="module")
+def clip(fixtures_dir):
+    return list(Y4MReader(str(fixtures_dir / "clip_qcif_10f.y4m")))
+
+
+@pytest.mark.parametrize("mode", ["i16", "mixed"])
+def test_gop_sharded_equals_serial(clip, mode):
+    import jax
+
+    from h264_fer_tpu.codec.tpu_intra import TpuIntraPipeline
+
+    frames = clip[:4]
+    pipe = TpuIntraPipeline(176, 144, 28)
+    enc = Encoder(176, 144, EncoderConfig(qp=28, intra_every=1,
+                                          scene_cut_idr=False),
+                  tpu_pipeline=pipe, tpu_iframe=mode if mode != "i16" else True)
+    serial = enc.encode_sequence(frames)
+
+    genc = GopIntraEncoder(176, 144, 28, mode=mode,
+                           devices=jax.devices()[:4])
+    sharded = genc.encode_sequence(frames)
+    assert sharded == serial
+
+
+def test_gop_sharded_uneven_batch(clip):
+    """Frame count not a multiple of the device count still stitches the
+    exact ordered stream (padding frames are dropped)."""
+    import jax
+
+    from h264_fer_tpu.codec.tpu_intra import TpuIntraPipeline
+
+    frames = clip[:3]
+    pipe = TpuIntraPipeline(176, 144, 28)
+    enc = Encoder(176, 144, EncoderConfig(qp=28, intra_every=1,
+                                          scene_cut_idr=False),
+                  tpu_pipeline=pipe, tpu_iframe=True)
+    serial = enc.encode_sequence(frames)
+    genc = GopIntraEncoder(176, 144, 28, devices=jax.devices()[:2])
+    assert genc.encode_sequence(frames) == serial
+
+
+def test_gop_sharded_stream_decodes(clip):
+    """The stitched stream round-trips through the decoder."""
+    from h264_fer_tpu.codec.decoder import Decoder
+
+    frames = clip[:2]
+    genc = GopIntraEncoder(176, 144, 28)
+    data = genc.encode_sequence(frames)
+    dec = Decoder()
+    outs = list(dec.decode_annexb(data))
+    assert len(outs) == 2
+    for (y, cb, cr), (sy, _, _) in zip(outs, frames):
+        assert y.shape == sy.shape
