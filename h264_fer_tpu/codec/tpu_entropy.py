@@ -132,7 +132,7 @@ def _nc_chroma_grid(tc_c, cbp_c, wmb: int, hmb: int, top_ctx=None):
                 top_tc, top_cbp, top_valid = top_ctx
                 col = mb % wmb
                 nB_halo = jnp.where(
-                    (top_cbp[col] & 2) != 0, top_tc[:, col, blk], 0)
+                    (top_cbp[col] & 2) != 0, top_tc[:, col, b_blk], 0)
                 nB = jnp.where(top_edge[None], nB_halo, nB)
                 b_ok = b_ok | (top_edge & top_valid)
         nc = jnp.where(

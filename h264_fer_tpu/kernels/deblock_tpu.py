@@ -177,7 +177,7 @@ def _filter_lines(p, q, bs, alpha: int, beta: int, idx_a: int,
 
 def _edge_v(patch, x: int, bs4, alpha, beta, idx_a, chroma, lines: int):
     """Vertical edge at patch column x; bs4: (slots, 4) per 4-line group."""
-    rows = slice(4 if not chroma else 4, (4 + lines))
+    rows = slice(4, 4 + lines)
     p = patch[:, rows, x - 4 : x][..., ::-1]
     q = patch[:, rows, x : x + 4]
     bs = jnp.repeat(bs4, lines // 4, axis=-1)  # (slots, lines)
@@ -262,9 +262,8 @@ def deblock_frame_device(y, cb, cr, mb_intra, nz_luma, mv,
             gy = _edge_v(gy, 4 + 4 * xblk, v[:, xblk], a_y, b_y, idx_y,
                          False, 16)
             if xblk in (0, 2):
-                cbs = v[:, xblk][:, :, None].repeat(2, 2).reshape(-1, 8)[
-                    :, ::2][:, :4] if False else v[:, xblk]
                 # chroma bS per 2-line group = luma bS per 4-line group
+                cbs = v[:, xblk]
                 gcb = _edge_v(gcb, 4 + 2 * xblk, cbs, a_c, b_c, idx_c,
                               True, 8)
                 gcr = _edge_v(gcr, 4 + 2 * xblk, cbs, a_c, b_c, idx_c,

@@ -50,14 +50,14 @@ from ..ops.intra import INTRA16_TO_CHROMA_MODE
 from ..ops.tables import INTRA4X4_SCAN_ORDER_XY
 
 
-def _banded_i16_wavefront(y, cb, cr, m16, cmode, halo_src,
+def _banded_i16_wavefront(y, cb, cr, m16, cmode,
                           wmb: int, hloc: int, hmb: int,
                           qp: int, qpc: int, axis: str):
     """Fused luma+chroma I16 wavefront over one MB-row band, exchanging
     reconstructed boundary rows with the neighbouring bands per wave.
 
-    y: (hloc*16, W) int32 band; halo_src unused (mode halo handled by the
-    caller). Runs the GLOBAL hmb+wmb-1 wave steps; local MBs activate when
+    y: (hloc*16, W) int32 band (the mode-decision source halo is handled
+    by the caller). Runs the GLOBAL hmb+wmb-1 wave steps; local MBs activate when
     the global diagonal enters the band. Returns recon planes + levels,
     bit-identical to kernels/wavefront.wavefront_i16_frame on the full
     frame.
@@ -310,7 +310,7 @@ class TileIntraEncoder:
             m16 = md["mode16"]
             cmode = jnp.asarray(INTRA16_TO_CHROMA_MODE)[m16]
             (ry, rcb, rcr, i16dc, i16ac, cdc, cac) = _banded_i16_wavefront(
-                y, cb, cr, m16, cmode, None,
+                y, cb, cr, m16, cmode,
                 wmb=wmb, hloc=hloc, hmb=hmb, qp=qp, qpc=qpc, axis="tile")
             # cross-band nC context: last-row TC/CBP state to the next band
             state = _band_state_last_row(i16dc, i16ac, cdc, cac, wmb, hloc)

@@ -9,8 +9,11 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
+    # 9 devices: ≥8 for the (gop=2, tile=4) mesh tests AND exactly 9 so the
+    # n_tile=9 (one-MB-row band, hloc=1) tile-sharding case is exercised on
+    # the QCIF (hmb=9) fixtures.
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+        flags + " --xla_force_host_platform_device_count=9"
     ).strip()
 
 # The axon TPU plugin registers even under JAX_PLATFORMS=cpu; the config knob
