@@ -913,14 +913,15 @@ class Encoder:
         # rare overflow (nbits is read back anyway; each tier compiles
         # once per geometry).
         nmb = self.wmb * self.hmb
-        tiers = [nmb * 24, nmb * 192, None]
-        for nw in tiers:
+        tiers = [(nmb * 24, 8), (nmb * 192, 24), (None, None)]
+        for nw, cap in tiers:
             out = device_frame(
                 jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
                 wmb=self.wmb, hmb=self.hmb, qp=self.qpy, qpc=self.qpc,
-                nw=nw)
+                nw=nw, cap=cap)
             nbits = int(out["nbits"])
-            if nw is None or nbits <= 32 * nw:
+            if ((nw is None or nbits <= 32 * nw)
+                    and bool(out["pack_ok"])):
                 break
         # Read back the payload in power-of-two word buckets: a raw
         # [:n] slice would trace a new program per distinct frame size
@@ -950,8 +951,8 @@ class Encoder:
             self.cbp_luma.copy(), self.cbp_chroma.copy(), self.nz_luma.copy(),
         )
         nmb = self.nmb
-        tiers = [nmb * 24, nmb * 192, None]
-        for nw in tiers:
+        tiers = [(nmb * 24, 8), (nmb * 192, 24), (None, None)]
+        for nw, cap in tiers:
             out = device_p_frame(
                 jnp.asarray(self.y), jnp.asarray(self.cb),
                 jnp.asarray(self.cr),
@@ -963,9 +964,10 @@ class Encoder:
                 qp=self.qpy, qpc=self.qpc,
                 cfg_maxdiff=self.cfg.maxdiff,
                 prefilter=bool(self.cfg.lossy_prefilter and self.qpy < 36),
-                nw=nw)
+                nw=nw, cap=cap)
             nbits = int(out["nbits"])
-            if nw is None or nbits <= 32 * nw:
+            if ((nw is None or nbits <= 32 * nw)
+                    and bool(out["pack_ok"])):
                 break
         nwords = (nbits + 31) // 32
         step = max(1024, (1 << (nwords - 1).bit_length()) // 8)

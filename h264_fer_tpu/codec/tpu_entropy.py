@@ -58,13 +58,12 @@ def _nc_luma_grid(tc_own, tc_state, cbp_own, cbp_state, wmb: int, hmb: int,
     mb = jnp.arange(nmb)
     left_edge = mb % wmb == 0
     top_edge = mb < wmb
-    left_mb = jnp.maximum(mb - 1, 0)
-    top_mb = jnp.maximum(mb - wmb, 0)
-
-    def gated(tc, cbp, addr, blk):
-        return jnp.where(
-            (cbp[addr] >> (blk // 4)) & 1 != 0, tc[addr, blk], 0
-        )
+    # neighbour reads are raster-index shifts — pad+slice, never gather
+    # (per-element gathers cost ~7 ns each on v5e and break fusion)
+    tc_L = jnp.concatenate([tc_state[:1], tc_state[:-1]], axis=0)
+    cbp_L = jnp.concatenate([cbp_state[:1], cbp_state[:-1]], axis=0)
+    tc_T = jnp.concatenate([tc_state[:wmb], tc_state[:-wmb]], axis=0)
+    cbp_T = jnp.concatenate([cbp_state[:wmb], cbp_state[:-wmb]], axis=0)
 
     cols = []
     for blk in range(16):
@@ -74,21 +73,26 @@ def _nc_luma_grid(tc_own, tc_state, cbp_own, cbp_state, wmb: int, hmb: int,
                            tc_own[:, a_blk], 0)
             a_ok = jnp.ones(nmb, bool)
         else:
-            nA = gated(tc_state, cbp_state, left_mb, a_blk)
+            nA = jnp.where((cbp_L >> (a_blk // 4)) & 1 != 0,
+                           tc_L[:, a_blk], 0)
             a_ok = ~left_edge
         if b_same:
             nB = jnp.where((cbp_own >> (b_blk // 4)) & 1 != 0,
                            tc_own[:, b_blk], 0)
             b_ok = jnp.ones(nmb, bool)
         else:
-            nB = gated(tc_state, cbp_state, top_mb, b_blk)
+            nB = jnp.where((cbp_T >> (b_blk // 4)) & 1 != 0,
+                           tc_T[:, b_blk], 0)
             b_ok = ~top_edge
             if top_ctx is not None:
                 top_tc, top_cbp, top_valid = top_ctx
-                col = mb % wmb
+                pad_n = nmb - wmb
+                halo_tc = jnp.concatenate(
+                    [top_tc[:, b_blk], jnp.zeros((pad_n,), jnp.int32)])
+                halo_cbp = jnp.concatenate(
+                    [top_cbp, jnp.zeros((pad_n,), top_cbp.dtype)])
                 nB_halo = jnp.where(
-                    (top_cbp[col] >> (b_blk // 4)) & 1 != 0,
-                    top_tc[col, b_blk], 0)
+                    (halo_cbp >> (b_blk // 4)) & 1 != 0, halo_tc, 0)
                 nB = jnp.where(top_edge, nB_halo, nB)
                 b_ok = b_ok | (top_edge & top_valid)
         nc = jnp.where(
@@ -107,32 +111,35 @@ def _nc_chroma_grid(tc_c, cbp_c, wmb: int, hmb: int, top_ctx=None):
     mb = jnp.arange(nmb)
     left_edge = mb % wmb == 0
     top_edge = mb < wmb
-    left_mb = jnp.maximum(mb - 1, 0)
-    top_mb = jnp.maximum(mb - wmb, 0)
-
-    def gated(addr, blk):
-        return jnp.where((cbp_c[addr] & 2) != 0, tc_c[:, addr, blk], 0)
+    tc_Lc = jnp.concatenate([tc_c[:, :1], tc_c[:, :-1]], axis=1)
+    cbp_Lc = jnp.concatenate([cbp_c[:1], cbp_c[:-1]], axis=0)
+    tc_Tc = jnp.concatenate([tc_c[:, :wmb], tc_c[:, :-wmb]], axis=1)
+    cbp_Tc = jnp.concatenate([cbp_c[:wmb], cbp_c[:-wmb]], axis=0)
 
     cols = []
     for blk in range(4):
         a_same, a_blk, b_same, b_blk = _CHROMA_NBR[blk]
         if a_same:
-            nA = gated(mb, a_blk)
+            nA = jnp.where((cbp_c & 2) != 0, tc_c[:, :, a_blk], 0)
             a_ok = jnp.ones(nmb, bool)
         else:
-            nA = gated(left_mb, a_blk)
+            nA = jnp.where((cbp_Lc & 2) != 0, tc_Lc[:, :, a_blk], 0)
             a_ok = ~left_edge
         if b_same:
-            nB = gated(mb, b_blk)
+            nB = jnp.where((cbp_c & 2) != 0, tc_c[:, :, b_blk], 0)
             b_ok = jnp.ones(nmb, bool)
         else:
-            nB = gated(top_mb, b_blk)
+            nB = jnp.where((cbp_Tc & 2) != 0, tc_Tc[:, :, b_blk], 0)
             b_ok = ~top_edge
             if top_ctx is not None:
                 top_tc, top_cbp, top_valid = top_ctx
-                col = mb % wmb
-                nB_halo = jnp.where(
-                    (top_cbp[col] & 2) != 0, top_tc[:, col, b_blk], 0)
+                pad_n = nmb - wmb
+                halo_tc = jnp.concatenate(
+                    [top_tc[:, :, b_blk],
+                     jnp.zeros((2, pad_n), jnp.int32)], axis=1)
+                halo_cbp = jnp.concatenate(
+                    [top_cbp, jnp.zeros((pad_n,), top_cbp.dtype)])
+                nB_halo = jnp.where((halo_cbp & 2) != 0, halo_tc, 0)
                 nB = jnp.where(top_edge[None], nB_halo, nB)
                 b_ok = b_ok | (top_edge & top_valid)
         nc = jnp.where(
@@ -173,11 +180,11 @@ def chroma_setup(cdc, cac, wmb: int, hmb: int):
     }
 
 
-@functools.partial(jax.jit, static_argnames=("wmb", "hmb", "nw"))
+@functools.partial(jax.jit, static_argnames=("wmb", "hmb", "nw", "cap"))
 def mixed_slice_entropy(choice4, mode16, cmode, i16dc, i16ac, lv4,
                         prev_flags, rem_modes, cbp_luma, tc_luma,
                         cdc, cac, wmb: int, hmb: int,
-                        nw: int | None = None):
+                        nw: int | None = None, cap: int | None = None):
     """Whole-slice macroblock_layer bits for a mixed I4x4/I16 frame.
 
     choice4/cbp_luma/tc_luma/prev_flags/rem_modes come from the
@@ -243,7 +250,8 @@ def mixed_slice_entropy(choice4, mode16, cmode, i16dc, i16ac, lv4,
         jnp.moveaxis(ch["cdc_lens"], 1, 0).reshape(nmb, -1),
         jnp.moveaxis(ch["cac_lens"], 1, 0).reshape(nmb, -1),
     ], axis=-1)
-    words, nbits = pack_symbols(vals.reshape(-1), lens.reshape(-1), nw=nw)
+    words, nbits, pack_ok = pack_symbols(
+        vals.reshape(-1), lens.reshape(-1), nw=nw, cap=cap)
 
     nz_luma = jnp.where(
         choice4[:, None], lv4.any(axis=-1),
@@ -251,6 +259,7 @@ def mixed_slice_entropy(choice4, mode16, cmode, i16dc, i16ac, lv4,
     return {
         "words": words,
         "nbits": nbits,
+        "pack_ok": pack_ok,
         "mb_type": mb_type,
         "cbp_luma": cbp_luma,
         "cbp_chroma": cbp_c,
@@ -261,7 +270,8 @@ def mixed_slice_entropy(choice4, mode16, cmode, i16dc, i16ac, lv4,
 
 
 def p_slice_entropy_impl(skip, mb_type, mvd, luma_levels, cdc, cac,
-                         wmb: int, hmb: int, nw: int | None = None):
+                         wmb: int, hmb: int, nw: int | None = None,
+                         cap: int | None = None):
     """Whole-slice macroblock_layer bits for a P frame, on device.
 
     The P-slice analog of i16_slice_entropy covering the reference's
@@ -346,11 +356,12 @@ def p_slice_entropy_impl(skip, mb_type, mvd, luma_levels, cdc, cac,
     t_l = jnp.where(trail_run > 0, t_l, 0)
     flat_v = jnp.concatenate([vals.reshape(-1), t_v[None]])
     flat_l = jnp.concatenate([lens.reshape(-1), t_l[None]])
-    words, nbits = pack_symbols(flat_v, flat_l, nw=nw)
+    words, nbits, pack_ok = pack_symbols(flat_v, flat_l, nw=nw, cap=cap)
 
     return {
         "words": words,
         "nbits": nbits,
+        "pack_ok": pack_ok,
         "trail_bits": t_l,
         "cbp_luma": cbp_l,
         "cbp_chroma": cbp_c,
@@ -362,13 +373,13 @@ def p_slice_entropy_impl(skip, mb_type, mvd, luma_levels, cdc, cac,
 
 
 p_slice_entropy = functools.partial(
-    jax.jit, static_argnames=("wmb", "hmb", "nw"))(p_slice_entropy_impl)
+    jax.jit, static_argnames=("wmb", "hmb", "nw", "cap"))(p_slice_entropy_impl)
 
 
-@functools.partial(jax.jit, static_argnames=("wmb", "hmb", "nw"))
+@functools.partial(jax.jit, static_argnames=("wmb", "hmb", "nw", "cap"))
 def i16_slice_entropy(mode16, cmode, i16dc, i16ac, cdc, cac,
                       wmb: int, hmb: int, nw: int | None = None,
-                      top_ctx=None):
+                      cap: int | None = None, top_ctx=None):
     """Whole-slice macroblock_layer bits for an all-I16 frame, on device.
 
     Returns dict: words (uint32 payload, bit 0 = first payload bit),
@@ -456,10 +467,12 @@ def i16_slice_entropy(mode16, cmode, i16dc, i16ac, cdc, cac,
         jnp.moveaxis(cac_lens, 1, 0).reshape(nmb, -1),
     ], axis=-1)
 
-    words, nbits = pack_symbols(vals.reshape(-1), lens.reshape(-1), nw=nw)
+    words, nbits, pack_ok = pack_symbols(
+        vals.reshape(-1), lens.reshape(-1), nw=nw, cap=cap)
     return {
         "words": words,
         "nbits": nbits,
+        "pack_ok": pack_ok,
         "mb_type": mb_type,
         "cbp_luma": cbp_l,
         "cbp_chroma": cbp_c,

@@ -27,9 +27,9 @@ from .tpu_intra import intra_mode_decision
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("wmb", "hmb", "qp", "qpc", "nw"))
+                   static_argnames=("wmb", "hmb", "qp", "qpc", "nw", "cap"))
 def device_i16_frame(y, cb, cr, wmb: int, hmb: int, qp: int, qpc: int,
-                     nw: int | None = None):
+                     nw: int | None = None, cap: int | None = None):
     """y/cb/cr: uint8 or int32 source planes (device). Returns dict with
     recon planes, entropy payload words/nbits, and per-MB syntax state.
     nw: static payload capacity in words (None = worst case); when
@@ -45,7 +45,7 @@ def device_i16_frame(y, cb, cr, wmb: int, hmb: int, qp: int, qpc: int,
         wavefront_i16_frame(y, cb, cr, m16, cmode,
                             wmb=wmb, hmb=hmb, qp=qp, qpc=qpc)
     ent = i16_slice_entropy(m16, cmode, i16dc, i16ac, cdc, cac,
-                            wmb=wmb, hmb=hmb, nw=nw)
+                            wmb=wmb, hmb=hmb, nw=nw, cap=cap)
     nz_luma = i16ac.any(axis=2) | i16dc.any(axis=1)[:, None]
     return {
         "recon_y": recon_y,
@@ -57,9 +57,9 @@ def device_i16_frame(y, cb, cr, wmb: int, hmb: int, qp: int, qpc: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("wmb", "hmb", "qp", "qpc", "nw"))
+                   static_argnames=("wmb", "hmb", "qp", "qpc", "nw", "cap"))
 def device_mixed_frame(y, cb, cr, wmb: int, hmb: int, qp: int, qpc: int,
-                       nw: int | None = None):
+                       nw: int | None = None, cap: int | None = None):
     """Mixed-mode device I-frame: exact Intra_4x4-vs-Intra_16x16
     arbitration by coded bit size (kernels/wavefront_mixed.py), chroma
     wavefront, and the whole slice's bits packed on device. Byte-identical
@@ -85,7 +85,7 @@ def device_mixed_frame(y, cb, cr, wmb: int, hmb: int, qp: int, qpc: int,
     ent = mixed_slice_entropy(
         mx["choice4"], m16, cmode, mx["i16dc"], mx["i16ac"], mx["lv4"],
         mx["prev_flags"], mx["rem_modes"], mx["cbp_luma"], mx["tc_luma"],
-        cdc, cac, wmb=wmb, hmb=hmb, nw=nw)
+        cdc, cac, wmb=wmb, hmb=hmb, nw=nw, cap=cap)
     return {
         "recon_y": mx["recon_y"],
         "recon_cb": recon_cb,

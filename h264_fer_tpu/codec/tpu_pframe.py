@@ -34,11 +34,12 @@ import jax.numpy as jnp
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "wmb", "hmb", "window", "qp", "qpc", "cfg_maxdiff", "prefilter", "nw"))
+    "wmb", "hmb", "window", "qp", "qpc", "cfg_maxdiff", "prefilter", "nw",
+    "cap"))
 def device_p_frame(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr, prev_mv,
                    wmb: int, hmb: int, window: int, qp: int, qpc: int,
                    cfg_maxdiff: int, prefilter: bool,
-                   nw: int | None = None):
+                   nw: int | None = None, cap: int | None = None):
     """Fully-device P-frame encode: interp planes → bulk ME maps →
     decision wavefront → MC + residual + reconstruction → whole-slice
     entropy. One jitted program per geometry; the host reads back the
@@ -80,7 +81,7 @@ def device_p_frame(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr, prev_mv,
         maxdiff, wmb, hmb, qp, qpc, prefilter)
     ent = p_slice_entropy(
         dec["skip"], dec["mb_type"], dec["mvd"], levels["luma"],
-        levels["cdc"], levels["cac"], wmb=wmb, hmb=hmb, nw=nw)
+        levels["cdc"], levels["cac"], wmb=wmb, hmb=hmb, nw=nw, cap=cap)
     return {
         "recon_y": recon_y,
         "recon_cb": recon_cb,

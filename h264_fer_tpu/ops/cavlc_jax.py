@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .cavlc_tables import (
@@ -119,13 +120,13 @@ def block_symbols_bulk(levels, max_num_coeff: int, sizes_only: bool = False):
     ones = (jnp.abs(rev_vals) == 1) & valid
     t1 = jnp.cumprod(ones[..., :3].astype(jnp.int32), axis=-1).sum(axis=-1)
 
-    # coeff_token per context (gather over the 5-ctx axis)
-    ctl = jnp.asarray(COEFF_TOKEN_LEN)  # (5, 17, 4)
-    ctb = jnp.asarray(COEFF_TOKEN_BITS)
-    ct_len = ctl[:, tc, t1]  # (5, ...)
-    ct_val = ctb[:, tc, t1]
-    ct_len = jnp.moveaxis(ct_len, 0, -1)  # (..., 5)
-    ct_val = jnp.moveaxis(ct_val, 0, -1)
+    # coeff_token per context: one flat row gather (index tc*4+t1 into the
+    # (68, 5) table — row gathers of contiguous 5-vectors, no 2D gather)
+    ctl = jnp.asarray(np.moveaxis(COEFF_TOKEN_LEN, 0, -1).reshape(-1, 5))
+    ctb = jnp.asarray(np.moveaxis(COEFF_TOKEN_BITS, 0, -1).reshape(-1, 5))
+    ct_idx = tc * 4 + t1
+    ct_len = ctl[ct_idx]  # (..., 5)
+    ct_val = ctb[ct_idx]
 
     # columns are accumulated in Python lists and stacked once at the end
     # (a .at[..., slot].set per step materializes a full copy each time)
@@ -192,31 +193,39 @@ def block_symbols_bulk(levels, max_num_coeff: int, sizes_only: bool = False):
     tz_active = (tc > 0) & (tc < max_num_coeff)
     tzi = jnp.clip(tc - 1, 0, tzl.shape[0] - 1)
     tzj = jnp.clip(total_zeros, 0, tzl.shape[1] - 1)
-    bits_acc = bits_acc + jnp.where(tz_active, tzl[tzi, tzj], 0)
+    tz_flat = tzi * tzl.shape[1] + tzj  # flat 1D gather
+    tz_len = jnp.where(tz_active, tzl.reshape(-1)[tz_flat], 0)
+    bits_acc = bits_acc + tz_len
     if not sizes_only:
-        vcols.append(jnp.where(tz_active, tzb[tzi, tzj], 0))
-        lcols.append(jnp.where(tz_active, tzl[tzi, tzj], 0))
+        vcols.append(jnp.where(tz_active, tzb.reshape(-1)[tz_flat], 0))
+        lcols.append(tz_len)
 
-    # --- run_before (zerosLeft fold, unrolled over L-1) -------------------
-    rbl = jnp.asarray(RUN_BEFORE_LEN)  # (6, 7)
-    rbb = jnp.asarray(RUN_BEFORE_BITS)
-    zeros_left = total_zeros
-    for k in range(L - 1):
-        active = (k <= tc - 2) & (zeros_left > 0)
-        run = rev_pos[..., k] - rev_pos[..., k + 1] - 1
-        run = jnp.where(active, run, 0)
-        esc = zeros_left > 6
-        v_esc = jnp.where(run < 7, 7 - run, 1)
-        l_esc = jnp.where(run < 7, 3, run - 3)
-        zi = jnp.clip(zeros_left - 1, 0, 5)
-        ri = jnp.clip(run, 0, 6)
-        length = jnp.where(esc, l_esc, rbl[zi, ri])
-        bits_acc = bits_acc + jnp.where(active, length, 0)
-        if not sizes_only:
-            value = jnp.where(esc, v_esc, rbb[zi, ri])
-            vcols.append(jnp.where(active, value, 0))
-            lcols.append(jnp.where(active, length, 0))
-        zeros_left = jnp.where(active, zeros_left - run, zeros_left)
+    # --- run_before --------------------------------------------------------
+    # zerosLeft before run k has the closed form tz - sum(run_{<k}) =
+    # rev_pos[k] + k + 1 - tc, so the whole section vectorizes over k with
+    # ONE flat table gather (no sequential fold — the fold serialized 14
+    # dependent stages and cost 20+ ms/frame at 1080p on v5e).
+    k_run = jnp.arange(L - 1, dtype=jnp.int32)
+    zeros_left = rev_pos[..., : L - 1] + k_run + 1 - tc[..., None]
+    active = (k_run <= tc[..., None] - 2) & (zeros_left > 0)
+    run = rev_pos[..., : L - 1] - rev_pos[..., 1:] - 1
+    run = jnp.where(active, run, 0)
+    esc = zeros_left > 6
+    v_esc = jnp.where(run < 7, 7 - run, 1)
+    l_esc = jnp.where(run < 7, 3, run - 3)
+    zi = jnp.clip(zeros_left - 1, 0, 5)
+    ri = jnp.clip(run, 0, 6)
+    rb_flat = zi * RUN_BEFORE_LEN.shape[1] + ri
+    length = jnp.where(esc, l_esc,
+                       jnp.asarray(RUN_BEFORE_LEN).reshape(-1)[rb_flat])
+    length = jnp.where(active, length, 0)
+    bits_acc = bits_acc + length.sum(axis=-1)
+    if not sizes_only:
+        value = jnp.where(esc, v_esc,
+                          jnp.asarray(RUN_BEFORE_BITS).reshape(-1)[rb_flat])
+        value = jnp.where(active, value, 0)
+        vcols.extend(jnp.moveaxis(value, -1, 0))
+        lcols.extend(jnp.moveaxis(length, -1, 0))
 
     out = {
         "tc": tc,
@@ -235,34 +244,60 @@ def finalize_symbols(blk, ctx):
     """Fill slot 0 with the coeff_token for the resolved nC contexts.
 
     blk: output of block_symbols_bulk; ctx: (...,) int32 in 0..4.
-    Returns (vals, lens) with all slots final.
+    Returns (vals, lens) with all slots final. The 5-way context select
+    is a dense compare-sum, not a take_along_axis — per-element gathers
+    cost ~7 ns each on v5e and serialize whatever fusion they land in.
     """
-    ct_val = jnp.take_along_axis(blk["ct_val"], ctx[..., None], axis=-1)[..., 0]
-    ct_len = jnp.take_along_axis(blk["ct_len"], ctx[..., None], axis=-1)[..., 0]
+    sel = (ctx[..., None] == jnp.arange(5)).astype(jnp.int32)
+    ct_val = (blk["ct_val"] * sel).sum(axis=-1)
+    ct_len = (blk["ct_len"] * sel).sum(axis=-1)
     vals = blk["vals"].at[..., 0].set(ct_val)
     lens = blk["lens"].at[..., 0].set(ct_len)
     return vals, lens
 
 
 # ---------------------------------------------------------------------------
-# Prefix-scan bit packing: (value, length) symbol streams → packed bytes.
+# Hierarchical dense bit packing: (value, length) symbol streams → words.
 
 
-def pack_symbols(vals, lens, nw: int | None = None):
+def _factor(c: int) -> tuple[int, int]:
+    """(a, b) with a*b >= c, both near sqrt(c) (one-hot GEMM factors)."""
+    import math
+    b = max(1, int(math.isqrt(c)))
+    a = -(-c // b)
+    return a, b
+
+
+def pack_symbols(vals, lens, nw: int | None = None, cap: int | None = None):
     """Pack a flat symbol stream into a uint32 big-endian word array.
 
-    vals/lens: (n,) int32, each value in `length` bits (MSB-first), zero
-    lengths skipped. Returns (words uint32 (nw,), total_bits).
+    vals/lens: (n,) int32, each value in `length` bits (MSB-first, len
+    <= 32), zero lengths skipped. Returns (words uint32 (nw,),
+    total_bits, ok) — ok is False when some symbol group overflowed the
+    `cap` capacity tier (the payload is then incomplete; retry with a
+    larger tier; total_bits is exact regardless).
 
-    Strategy (XLA-native, no sequential bit cursor and NO scatter — TPU
-    scatters serialize): an exclusive prefix scan of lengths gives every
-    symbol's absolute bit offset; each symbol's value splits into a `hi`
-    part for its word and a `lo` spill into the next word. Offsets are
-    monotone, so the symbols landing in output word w form a contiguous
-    index range, and because the packed bit ranges are disjoint the word
-    value is their exact integer sum (< 2^32). Each word is therefore a
-    difference of mod-2^32 prefix sums of hi/lo over a searchsorted-found
-    segment — all cumsum + gather, which the VPU streams.
+    cap: average-bits capacity tier in words per 64 symbols (8 covers
+    4 bit/symbol averages — typical CAVLC residual at medium QP; 24
+    covers dense low-QP frames). None = worst case (a symbol is at most
+    one word), which can never overflow: ok is always True.
+
+    Per-element indexed ops (gather/scatter/searchsorted) cost ~7-9 ns
+    per element on v5e — at the ~7M-symbol scale of a 1080p frame any
+    per-symbol indexed placement is 50+ ms. This pack is therefore
+    hierarchical and DENSE end to end:
+
+    1. groups of `group` symbols → (cap+1)-word windows by masked column
+       sums (VPU; `cap` is a capacity tier — `cap=group` never overflows
+       since a symbol is at most one word);
+    2. `chunk_groups` group windows → one chunk window by a factorized
+       one-hot GEMM: window word index w = a*B + b becomes two one-hot
+       factors and the placement is einsum('cia,cib->cab') on the MXU,
+       exact in f32 because the disjoint-bit contributions are summed as
+       16-bit halves (< 2^24). `slices` splits this einsum into a
+       lax.map over chunk slices to bound the one-hot materialization;
+    3. chunk windows splice into the output with a short
+       dynamic_update_slice scan (~2 us/step, one step per chunk).
 
     nw: static output capacity in words. Bits past 32*nw are silently
     dropped — callers must check total_bits <= 32*nw and retry at a
@@ -271,35 +306,135 @@ def pack_symbols(vals, lens, nw: int | None = None):
     n = vals.shape[0]
     if nw is None:
         nw = (n * 28) // 32 + 3
+    # preset (group size, chunk size, einsum slicing) per capacity tier;
+    # slices bound the one-hot materialization at 1080p scale (~100 MB)
+    if cap is None:
+        group, cap, chunk_groups, slices = 16, 16, 256, 16
+    elif cap <= 8:
+        group, cap, chunk_groups, slices = 64, cap, 256, 2
+    else:
+        group, cap, chunk_groups, slices = 64, cap, 256, 8
     lens = lens.astype(jnp.int32)
-    csum = jnp.cumsum(lens)  # inclusive prefix scan
-    off = csum - lens
-    total = csum[-1] if n else jnp.int32(0)
-    bit = off & 31  # bit position of symbol MSB within word (from MSB side)
-    v = vals.astype(jnp.uint32)
-    # left-aligned 64-bit value split into two 32-bit halves:
-    # value occupies bits [bit, bit+len) from the word's MSB
-    sh_hi = 32 - bit - lens  # may be negative
+    g = group
+    syms_chunk = g * chunk_groups
+    pad = (-n) % (syms_chunk * slices)
+    if pad:
+        vals = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
+        lens = jnp.concatenate([lens, jnp.zeros((pad,), jnp.int32)])
+    lens2 = lens.reshape(-1, g)
+    v = vals.reshape(-1, g).astype(jnp.uint32)
+
+    # --- level 1: per-group windows (dense masked sums) -----------------
+    csum = jnp.cumsum(lens2, axis=-1)
+    off = csum - lens2  # local bit offset of each symbol within the group
+    gbits = csum[:, -1]  # (ngrp,)
+    ok = jnp.all(gbits <= 32 * cap)
+    w = off >> 5
+    bit = off & 31
+    # value occupies bits [bit, bit+len) from word w's MSB; split into a
+    # hi part for word w and a lo spill into word w+1
+    sh_hi = 32 - bit - lens2  # may be negative
     hi = jnp.where(
         sh_hi >= 0,
         v << jnp.maximum(sh_hi, 0).astype(jnp.uint32),
         v >> jnp.minimum(-sh_hi, 31).astype(jnp.uint32),
     ).astype(jnp.uint32)
-    lo_sh = ((64 - bit - lens) & 31).astype(jnp.uint32)
+    lo_sh = ((64 - bit - lens2) & 31).astype(jnp.uint32)
     lo = jnp.where(sh_hi < 0, v << lo_sh, jnp.uint32(0)).astype(jnp.uint32)
-    active = lens > 0
-    zero32 = jnp.zeros((1,), jnp.uint32)
-    p_hi = jnp.concatenate([zero32, jnp.cumsum(jnp.where(active, hi, 0))])
-    p_lo = jnp.concatenate([zero32, jnp.cumsum(jnp.where(active, lo, 0))])
-    # ends[w] = #symbols with offset < 32*(w+1)  (i.e. whose word <= w)
-    wq = 32 * (jnp.arange(nw, dtype=jnp.int32) + 1)
-    ends = jnp.searchsorted(off, wq, side="left").astype(jnp.int32)
-    e1 = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1]])  # ends[w-1]
-    e2 = jnp.concatenate([jnp.zeros(2, jnp.int32), ends[:-2]])  # ends[w-2]
-    # hi parts of symbols in word w: indices [ends[w-1], ends[w]);
-    # lo spills into word w come from symbols in word w-1: [e2, e1)
-    words = (p_hi[ends] - p_hi[e1]) + (p_lo[e1] - p_lo[e2])
-    return words, total
+    active = lens2 > 0
+    hi = jnp.where(active, hi, 0)
+    lo = jnp.where(active, lo, 0)
+    # window column j collects hi parts of symbols in local word j and lo
+    # spills of symbols in local word j-1 (disjoint bits: sum == or)
+    w1 = cap + 1
+    win = jnp.stack([
+        jnp.where(w == j, hi, 0).sum(-1, dtype=jnp.uint32)
+        + (jnp.where(w == j - 1, lo, 0).sum(-1, dtype=jnp.uint32)
+           if j else 0)
+        for j in range(w1)
+    ], axis=-1)  # (ngrp, w1)
+
+    # --- level 2: GEMM-place group windows into chunk windows -----------
+    ngrp = lens2.shape[0]
+    nchunk = ngrp // chunk_groups
+    gb_c = gbits.reshape(nchunk, chunk_groups)
+    gcs = jnp.cumsum(gb_c, axis=-1)
+    cbits = gcs[:, -1]  # (nchunk,) bits per chunk
+    gloc = gcs - gb_c   # group bit offset within its chunk
+    # chunk window capacity: worst case for in-tier groups, plus spill
+    c1 = chunk_groups * cap + w1 + 1
+    a1, b1 = _factor(c1)
+    r = (gloc & 31).astype(jnp.uint32)
+    rs = (jnp.uint32(32) - r) & 31
+    base_w = (gloc >> 5)  # (nchunk, chunk_groups)
+    winc = win.reshape(nchunk, chunk_groups, w1)
+
+    def place(carry, xs):
+        winc, base_w, r, rs = xs
+        # funnel-shift each group window right by r bits → w1+1 columns
+        shifted = jnp.concatenate([
+            (winc >> r[..., None])
+            | jnp.where(
+                (r > 0)[..., None],
+                jnp.pad(winc[..., :-1], ((0, 0), (0, 0), (1, 0)))
+                << rs[..., None],
+                0),
+            jnp.where((r > 0)[..., None],
+                      winc[..., -1:] << rs[..., None], 0),
+        ], axis=-1)  # (nc, cg, w1+1)
+        pos = base_w[..., None] + jnp.arange(w1 + 1)  # word index in chunk
+        pa = pos // b1
+        pb = pos - pa * b1
+        nc = shifted.shape[0]
+        items = shifted.reshape(nc, -1)
+        pa = pa.reshape(nc, -1)
+        pb = pb.reshape(nc, -1)
+        aoh = (pa[..., None] == jnp.arange(a1)).astype(jnp.float32)
+        boh = (pb[..., None] == jnp.arange(b1)).astype(jnp.float32)
+        out = []
+        for shift in (0, 16):
+            half = ((items >> shift) & 0xFFFF).astype(jnp.float32)
+            cell = jnp.einsum("cia,cib->cab", aoh * half[..., None], boh,
+                              preferred_element_type=jnp.float32)
+            out.append(cell.astype(jnp.uint32))
+        cw = (out[1] << 16) | out[0]
+        return carry, cw.reshape(nc, a1 * b1)[:, :c1]
+
+    if slices > 1:
+        sl = lambda x: x.reshape((slices, nchunk // slices) + x.shape[1:])
+        _, cwin = jax.lax.scan(
+            place, 0, (sl(winc), sl(base_w), sl(r), sl(rs)))
+        cwin = cwin.reshape(nchunk, c1)
+    else:
+        _, cwin = place(0, (winc, base_w, r, rs))
+
+    # --- level 3: splice chunk windows into the output ------------------
+    ccs = jnp.cumsum(cbits)
+    total = ccs[-1] if n else jnp.int32(0)
+    cloc = ccs - cbits
+    cr = (cloc & 31).astype(jnp.uint32)
+    crs = (jnp.uint32(32) - cr) & 31
+    cw_sh = jnp.concatenate([
+        (cwin >> cr[:, None])
+        | jnp.where((cr > 0)[:, None],
+                    jnp.pad(cwin[:, :-1], ((0, 0), (1, 0))) << crs[:, None],
+                    0),
+        jnp.where((cr > 0)[:, None], cwin[:, -1:] << crs[:, None], 0),
+    ], axis=-1)  # (nchunk, c1+1)
+    cword = cloc >> 5
+
+    # derive the zero carry from the data so its varying manual axes
+    # match the scanned xs under shard_map (scan-vma typing rule)
+    outbuf = jnp.zeros((nw + c1 + 2,), jnp.uint32) + (cw_sh[0, 0] & 0)
+
+    def splice(buf, xs):
+        row, start = xs
+        seg = jax.lax.dynamic_slice(buf, (start,), (c1 + 1,))
+        return jax.lax.dynamic_update_slice(buf, seg | row, (start,)), None
+
+    outbuf, _ = jax.lax.scan(
+        splice, outbuf, (cw_sh, jnp.minimum(cword, nw)))
+    return outbuf[:nw], total, ok
 
 
 def words_to_bytes(words: np.ndarray, total_bits: int) -> bytes:

@@ -62,20 +62,20 @@ class GopIntraEncoder:
                           else device_i16_frame)
         self._cache = {}
 
-    def _batched(self, nw):
-        key = nw
+    def _batched(self, nw, cap):
+        key = (nw, cap)
         if key not in self._cache:
             core = functools.partial(
                 self._frame_fn, wmb=self.wmb, hmb=self.hmb,
-                qp=self.qp, qpc=self.qpc, nw=nw)
+                qp=self.qp, qpc=self.qpc, nw=nw, cap=cap)
             sh = NamedSharding(self.mesh, P("gop"))
 
             def run(y, cb, cr):
                 out = jax.vmap(core)(y, cb, cr)
-                return out["words"], out["nbits"]
+                return out["words"], out["nbits"], out["pack_ok"]
 
             self._cache[key] = jax.jit(
-                run, in_shardings=(sh, sh, sh), out_shardings=(sh, sh))
+                run, in_shardings=(sh, sh, sh), out_shardings=(sh, sh, sh))
         return self._cache[key]
 
     def headers(self) -> bytes:
@@ -98,13 +98,14 @@ class GopIntraEncoder:
             # vmapped recompile is minutes-slow over the axon tunnel)
             words, nbits = [], []
             for y, cb, cr in frames:
-                for nw in (self.nmb * 24, self.nmb * 192, None):
+                for nw, cap in ((self.nmb * 24, 8), (self.nmb * 192, 24),
+                                (None, None)):
                     out = self._frame_fn(
                         jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
                         wmb=self.wmb, hmb=self.hmb, qp=self.qp,
-                        qpc=self.qpc, nw=nw)
+                        qpc=self.qpc, nw=nw, cap=cap)
                     nb = int(out["nbits"])
-                    if nw is None or nb <= 32 * nw:
+                    if (nw is None or nb <= 32 * nw) and bool(out["pack_ok"]):
                         break
                 words.append(np.asarray(out["words"]))
                 nbits.append(nb)
@@ -118,10 +119,12 @@ class GopIntraEncoder:
                        + [frames[-1][2]] * pad).astype(np.uint8)
         # tiered payload capacity like the serial path (encoder.py):
         # escalate when any frame overflows its static word budget
-        for nw in (self.nmb * 24, self.nmb * 192, None):
-            words, nbits = self._batched(nw)(ys, cbs, crs)
+        for nw, cap in ((self.nmb * 24, 8), (self.nmb * 192, 24),
+                        (None, None)):
+            words, nbits, pok = self._batched(nw, cap)(ys, cbs, crs)
             nbits_h = np.asarray(nbits)
-            if nw is None or int(nbits_h.max()) <= 32 * nw:
+            if ((nw is None or int(nbits_h.max()) <= 32 * nw)
+                    and bool(np.asarray(pok).all())):
                 break
         return np.asarray(words)[:b], nbits_h[:b]
 

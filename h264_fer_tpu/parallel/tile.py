@@ -287,9 +287,9 @@ class TileIntraEncoder:
         self.idr_pic_id = -1
         self._cache = {}
 
-    def _program(self, nw):
-        if nw in self._cache:
-            return self._cache[nw]
+    def _program(self, nw, cap):
+        if (nw, cap) in self._cache:
+            return self._cache[nw, cap]
         wmb, hmb, hloc = self.wmb, self.hmb, self.hloc
         qp, qpc = self.qp, self.qpc
         n_tile = self.n_tile
@@ -318,19 +318,19 @@ class TileIntraEncoder:
                 state, "tile", perm)
             ent = i16_slice_entropy(
                 m16, cmode, i16dc, i16ac, cdc, cac,
-                wmb=wmb, hmb=hloc, nw=nw,
+                wmb=wmb, hmb=hloc, nw=nw, cap=cap,
                 top_ctx=(t_tc_l, t_cbp_l, t_tc_c, t_cbp_c, t > 0))
             return (ent["words"][None], ent["nbits"][None],
-                    ry[None], rcb[None], rcr[None])
+                    ent["pack_ok"][None], ry[None], rcb[None], rcr[None])
 
         fn = shard_map(
             band, mesh=self.mesh,
             in_specs=(P("tile", None), P("tile", None), P("tile", None)),
-            out_specs=(P("tile", None), P("tile"),
+            out_specs=(P("tile", None), P("tile"), P("tile"),
                        P("tile", None), P("tile", None), P("tile", None)),
         )
-        self._cache[nw] = jax.jit(fn)
-        return self._cache[nw]
+        self._cache[nw, cap] = jax.jit(fn)
+        return self._cache[nw, cap]
 
     def headers(self) -> bytes:
         w = BitWriter()
@@ -344,11 +344,13 @@ class TileIntraEncoder:
 
     def encode_frame(self, y, cb, cr) -> bytes:
         nmb_band = self.wmb * self.hloc
-        for nw in (nmb_band * 24, nmb_band * 192, None):
-            words, nbits, ry, rcb, rcr = self._program(nw)(
+        for nw, cap in ((nmb_band * 24, 8), (nmb_band * 192, 24),
+                        (None, None)):
+            words, nbits, pok, ry, rcb, rcr = self._program(nw, cap)(
                 jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr))
             nbits_h = np.asarray(nbits)
-            if nw is None or int(nbits_h.max()) <= 32 * nw:
+            if ((nw is None or int(nbits_h.max()) <= 32 * nw)
+                    and bool(np.asarray(pok).all())):
                 break
         words_h = np.asarray(words)
         self.recon = (np.asarray(ry).reshape(self.h, self.w),

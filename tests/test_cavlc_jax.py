@@ -104,7 +104,8 @@ def test_pack_symbols_matches_bitwriter():
     for v, l in zip(vals, lens):
         if l > 0:
             w.write(int(v), int(l))
-    words, total = pack_symbols(jnp.asarray(vals), jnp.asarray(lens))
+    words, total, ok = pack_symbols(jnp.asarray(vals), jnp.asarray(lens))
+    assert bool(ok)
     assert int(total) == w.bit_position
     got = words_to_bytes(np.asarray(words), int(total))
     assert got == _flush(w)
