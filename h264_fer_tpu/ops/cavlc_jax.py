@@ -394,8 +394,12 @@ def pack_symbols(vals, lens, nw: int | None = None, cap: int | None = None):
         out = []
         for shift in (0, 16):
             half = ((items >> shift) & 0xFFFF).astype(jnp.float32)
+            # HIGHEST precision: the default matmul precision runs bf16
+            # passes that round 16-bit halves (e.g. 0x4567 -> 0x4580) and
+            # silently corrupt the payload; highest is exact for < 2^24
             cell = jnp.einsum("cia,cib->cab", aoh * half[..., None], boh,
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
             out.append(cell.astype(jnp.uint32))
         cw = (out[1] << 16) | out[0]
         return carry, cw.reshape(nc, a1 * b1)[:, :c1]

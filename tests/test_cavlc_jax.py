@@ -109,3 +109,42 @@ def test_pack_symbols_matches_bitwriter():
     assert int(total) == w.bit_position
     got = words_to_bytes(np.asarray(words), int(total))
     assert got == _flush(w)
+
+
+@pytest.mark.parametrize("n,cap,maxlen,sparse", [
+    (64, 8, 9, 0.5),        # single real group, tier-8 layout
+    (200_000, 8, 9, 0.5),   # 1080p-class symbol count, tier-8
+    (200_000, 24, 13, 0.0), # dense mid tier
+    (150_000, None, 29, 0.0),  # worst-case tier (never overflows)
+])
+def test_pack_symbols_tiers_at_scale(n, cap, maxlen, sparse):
+    """Every capacity tier must be bit-exact at frame scale: the one-hot
+    GEMM placement once silently corrupted payloads at default (bf16)
+    matmul precision — caught only beyond the small-n einsum paths."""
+    rng = np.random.default_rng(n + (cap or 0))
+    lens = rng.integers(0, maxlen, n).astype(np.int32)
+    if sparse:
+        lens[rng.random(n) < sparse] = 0
+    vals = rng.integers(0, 1 << 29, n).astype(np.int32) & ((1 << np.maximum(lens, 1)) - 1)
+    csum = np.cumsum(lens, dtype=np.int64)
+    total_ref = int(csum[-1])
+    nw = total_ref // 32 + 3
+    words, total, ok = pack_symbols(jnp.asarray(vals), jnp.asarray(lens),
+                                    nw=nw, cap=cap)
+    assert int(total) == total_ref
+    if not bool(ok):  # tier overflow is a legal outcome — caller escalates
+        words, total, ok = pack_symbols(jnp.asarray(vals), jnp.asarray(lens),
+                                        nw=nw, cap=None)
+        assert bool(ok)
+    # reference pack via vectorized numpy (BitWriter is too slow at 200k)
+    off = csum - lens
+    nbits = total_ref
+    bits = np.zeros(nbits, np.uint8)
+    for k in range(maxlen):
+        m = lens > k
+        # bit k from the MSB side of each symbol
+        pos = off[m] + k
+        bits[pos] = (vals[m] >> (lens[m] - 1 - k)) & 1
+    ref = np.packbits(bits).tobytes()
+    got = words_to_bytes(np.asarray(words), int(total))
+    assert got == ref
