@@ -52,7 +52,8 @@ from ..ops.tables import INTRA4X4_SCAN_ORDER_XY
 
 def _banded_i16_wavefront(y, cb, cr, m16, cmode,
                           wmb: int, hloc: int, hmb: int,
-                          qp: int, qpc: int, axis: str):
+                          qp: int, qpc: int, axis: str,
+                          vary_axes: tuple = ()):
     """Fused luma+chroma I16 wavefront over one MB-row band, exchanging
     reconstructed boundary rows with the neighbouring bands per wave.
 
@@ -222,11 +223,14 @@ def _banded_i16_wavefront(y, cb, cr, m16, cmode,
         jnp.zeros((2, wmb, 8), jnp.int32),
     )
     # the loop body makes every carry component vary over the tile axis
-    # (ppermute / axis_index); mark the replicated zeros accordingly
+    # (ppermute / axis_index) — and over every other manual mesh axis the
+    # captured inputs are sharded on (e.g. "gop" in the 2-D program);
+    # mark the replicated zeros accordingly
+    axes = tuple(vary_axes) or (axis,)
     if hasattr(jax.lax, "pcast"):
-        cast = lambda x: jax.lax.pcast(x, (axis,), to="varying")  # noqa: E731
+        cast = lambda x: jax.lax.pcast(x, axes, to="varying")  # noqa: E731
     else:  # pragma: no cover — older jax
-        cast = lambda x: jax.lax.pvary(x, (axis,))  # noqa: E731
+        cast = lambda x: jax.lax.pvary(x, axes)  # noqa: E731
     carry0 = jax.tree_util.tree_map(cast, carry0)
     (recon, crecon, dc_out, ac_out, cdc_out, cac_out, _, _) = \
         jax.lax.fori_loop(0, ndiag, step, carry0)
@@ -261,6 +265,46 @@ def _band_state_last_row(i16dc, i16ac, cdc, cac, wmb: int, hloc: int):
     return tc_l, cbp_l, tc_c, cbp_c
 
 
+def _make_band(wmb: int, hmb: int, hloc: int, n_tile: int, qp: int,
+               qpc: int, nw, cap, vary_axes: tuple = ()):
+    """Per-band device I-frame encode step (one MB-row band of one frame):
+    source-halo ppermute → mode decision → global banded wavefront →
+    cross-band nC-context ppermute → per-band slice entropy. Collectives
+    ride the ``tile`` mesh axis; shared by the 1-D tile and 2-D
+    (gop, tile) programs."""
+    perm = [(i, i + 1) for i in range(n_tile - 1)]
+
+    def band(y, cb, cr):
+        # local shapes: y (hloc*16, W), cb/cr (hloc*8, W/2)
+        y = y.astype(jnp.int32)
+        cb = cb.astype(jnp.int32)
+        cr = cr.astype(jnp.int32)
+        t = jax.lax.axis_index("tile")
+        # source top halo for the mode decision
+        top_row = jax.lax.ppermute(y[-1], "tile", perm)
+        top_row = jnp.where(t > 0, top_row, -1)
+        md = intra_mode_decision(y, wmb=wmb, hmb=hloc, qp=qp,
+                                 top_row=top_row, modes_only=True,
+                                 i16_only=True)
+        m16 = md["mode16"]
+        cmode = jnp.asarray(INTRA16_TO_CHROMA_MODE)[m16]
+        (ry, rcb, rcr, i16dc, i16ac, cdc, cac) = _banded_i16_wavefront(
+            y, cb, cr, m16, cmode,
+            wmb=wmb, hloc=hloc, hmb=hmb, qp=qp, qpc=qpc, axis="tile",
+            vary_axes=vary_axes)
+        # cross-band nC context: last-row TC/CBP state to the next band
+        state = _band_state_last_row(i16dc, i16ac, cdc, cac, wmb, hloc)
+        t_tc_l, t_cbp_l, t_tc_c, t_cbp_c = jax.lax.ppermute(
+            state, "tile", perm)
+        ent = i16_slice_entropy(
+            m16, cmode, i16dc, i16ac, cdc, cac,
+            wmb=wmb, hmb=hloc, nw=nw, cap=cap,
+            top_ctx=(t_tc_l, t_cbp_l, t_tc_c, t_cbp_c, t > 0))
+        return (ent["words"], ent["nbits"], ent["pack_ok"], ry, rcb, rcr)
+
+    return band
+
+
 class TileIntraEncoder:
     """All-intra encoder with each frame's encode sharded over an MB-row
     ``tile`` mesh: mode decision, wavefront reconstruction, and per-band
@@ -290,41 +334,16 @@ class TileIntraEncoder:
     def _program(self, nw, cap):
         if (nw, cap) in self._cache:
             return self._cache[nw, cap]
-        wmb, hmb, hloc = self.wmb, self.hmb, self.hloc
-        qp, qpc = self.qp, self.qpc
-        n_tile = self.n_tile
-        perm = [(i, i + 1) for i in range(n_tile - 1)]
+        band = _make_band(self.wmb, self.hmb, self.hloc, self.n_tile,
+                          self.qp, self.qpc, nw, cap)
 
-        def band(y, cb, cr):
-            # local shapes: y (hloc*16, W), cb/cr (hloc*8, W/2)
-            y = y.astype(jnp.int32)
-            cb = cb.astype(jnp.int32)
-            cr = cr.astype(jnp.int32)
-            t = jax.lax.axis_index("tile")
-            # source top halo for the mode decision
-            top_row = jax.lax.ppermute(y[-1], "tile", perm)
-            top_row = jnp.where(t > 0, top_row, -1)
-            md = intra_mode_decision(y, wmb=wmb, hmb=hloc, qp=qp,
-                                     top_row=top_row, modes_only=True,
-                                     i16_only=True)
-            m16 = md["mode16"]
-            cmode = jnp.asarray(INTRA16_TO_CHROMA_MODE)[m16]
-            (ry, rcb, rcr, i16dc, i16ac, cdc, cac) = _banded_i16_wavefront(
-                y, cb, cr, m16, cmode,
-                wmb=wmb, hloc=hloc, hmb=hmb, qp=qp, qpc=qpc, axis="tile")
-            # cross-band nC context: last-row TC/CBP state to the next band
-            state = _band_state_last_row(i16dc, i16ac, cdc, cac, wmb, hloc)
-            t_tc_l, t_cbp_l, t_tc_c, t_cbp_c = jax.lax.ppermute(
-                state, "tile", perm)
-            ent = i16_slice_entropy(
-                m16, cmode, i16dc, i16ac, cdc, cac,
-                wmb=wmb, hmb=hloc, nw=nw, cap=cap,
-                top_ctx=(t_tc_l, t_cbp_l, t_tc_c, t_cbp_c, t > 0))
-            return (ent["words"][None], ent["nbits"][None],
-                    ent["pack_ok"][None], ry[None], rcb[None], rcr[None])
+        def one(y, cb, cr):
+            ent_words, ent_nbits, ent_ok, ry, rcb, rcr = band(y, cb, cr)
+            return (ent_words[None], ent_nbits[None], ent_ok[None],
+                    ry[None], rcb[None], rcr[None])
 
         fn = shard_map(
-            band, mesh=self.mesh,
+            one, mesh=self.mesh,
             in_specs=(P("tile", None), P("tile", None), P("tile", None)),
             out_specs=(P("tile", None), P("tile"), P("tile"),
                        P("tile", None), P("tile", None), P("tile", None)),
@@ -373,4 +392,100 @@ class TileIntraEncoder:
         out = bytearray(self.headers())
         for y, cb, cr in frames:
             out += self.encode_frame(y, cb, cr)
+        return bytes(out)
+
+
+class GopTileIntraEncoder:
+    """All-intra encoder over a 2-D ``(gop, tile)`` device mesh — the full
+    BASELINE.json config-4+5 composition in ONE jitted program: frames
+    shard across the ``gop`` axis (data parallelism over IDR frames) and
+    each frame's MB-row bands shard across the ``tile`` axis (spatial
+    parallelism with per-wave reconstructed-row + nC-context ppermute
+    halos on ICI). The host stitches NALs frame-major, band-minor;
+    streams are byte-identical to the serial device path."""
+
+    def __init__(self, width: int, height: int, qp: int,
+                 n_gop: int, n_tile: int, devices=None) -> None:
+        assert width % 16 == 0 and height % 16 == 0
+        self.w, self.h, self.qp = width, height, qp
+        self.wmb, self.hmb = width // 16, height // 16
+        self.qpc = transform.chroma_qp(qp, 0)
+        devs = list(devices) if devices is not None else jax.devices()
+        assert len(devs) >= n_gop * n_tile
+        assert self.hmb % n_tile == 0, \
+            f"MB rows {self.hmb} must split across {n_tile} tiles"
+        self.n_gop, self.n_tile = n_gop, n_tile
+        self.hloc = self.hmb // n_tile
+        self.mesh = Mesh(
+            np.asarray(devs[: n_gop * n_tile]).reshape(n_gop, n_tile),
+            ("gop", "tile"))
+        self.sps = SPS(pic_width_in_mbs=self.wmb,
+                       pic_height_in_map_units=self.hmb)
+        self.pps = PPS(pic_init_qp=14 + qp)
+        self._cache = {}
+
+    def _program(self, nw, cap):
+        if (nw, cap) in self._cache:
+            return self._cache[nw, cap]
+        band = _make_band(self.wmb, self.hmb, self.hloc, self.n_tile,
+                          self.qp, self.qpc, nw, cap,
+                          vary_axes=("gop", "tile"))
+
+        def shard(y, cb, cr):
+            # local: y (B/n_gop, hloc*16, W) — vmap the band step over the
+            # local frame batch; 'tile' collectives apply per mesh row
+            outs = jax.vmap(band)(y, cb, cr)
+            return jax.tree_util.tree_map(lambda x: x[:, None], outs)
+
+        fn = shard_map(
+            shard, mesh=self.mesh,
+            in_specs=(P("gop", "tile", None),) * 3,
+            out_specs=(P("gop", "tile", None), P("gop", "tile"),
+                       P("gop", "tile"), P("gop", "tile", None),
+                       P("gop", "tile", None), P("gop", "tile", None)),
+        )
+        self._cache[nw, cap] = jax.jit(fn)
+        return self._cache[nw, cap]
+
+    def headers(self) -> bytes:
+        w = BitWriter()
+        self.sps.write(w)
+        w.rbsp_trailing_bits()
+        out = nal_mod.write_nal_unit(1, nal_mod.NAL_SPS, w.getvalue())
+        w = BitWriter()
+        self.pps.write(w)
+        w.rbsp_trailing_bits()
+        return out + nal_mod.write_nal_unit(1, nal_mod.NAL_PPS, w.getvalue())
+
+    def encode_sequence(self, frames) -> bytes:
+        b = len(frames)
+        pad = (-b) % self.n_gop  # shard evenly; padded frames discarded
+        # (B, H, W): dim 0 shards over gop, dim 1 (pixel rows) over tile
+        ys = np.stack([f[0] for f in frames] + [frames[-1][0]] * pad)
+        cbs = np.stack([f[1] for f in frames] + [frames[-1][1]] * pad)
+        crs = np.stack([f[2] for f in frames] + [frames[-1][2]] * pad)
+        nmb_band = self.wmb * self.hloc
+        for nw, cap in ((nmb_band * 24, 8), (nmb_band * 192, 24),
+                        (None, None)):
+            words, nbits, pok, _, _, _ = self._program(nw, cap)(
+                jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs))
+            nbits_h = np.asarray(nbits)
+            if ((nw is None or int(nbits_h.max()) <= 32 * nw)
+                    and bool(np.asarray(pok).all())):
+                break
+        words_h = np.asarray(words)
+        out = bytearray(self.headers())
+        for i in range(b):  # frame-major, band-minor ordered stitch
+            shd = SliceHeader(
+                slice_type=I_SLICE, frame_num=0, idr_pic_id=i,
+                pic_order_cnt_lsb=0, slice_qp_delta=-14,
+                disable_deblocking_filter_idc=1)
+            w = BitWriter()
+            shd.write(w, self.sps, self.pps, nal_mod.NAL_IDR, 1)
+            for tix in range(self.n_tile):
+                w.append_bits(
+                    words_to_bytes(words_h[i, tix], int(nbits_h[i, tix])),
+                    int(nbits_h[i, tix]))
+            w.rbsp_trailing_bits()
+            out += nal_mod.write_nal_unit(1, nal_mod.NAL_IDR, w.getvalue())
         return bytes(out)

@@ -36,6 +36,30 @@ def test_tile_sharded_equals_single_device(clip, n_tile):
     assert sharded == serial
 
 
+@pytest.mark.parametrize("n_gop,n_tile", [(2, 3), (2, 9), (4, 1)])
+def test_gop_tile_2d_equals_serial(clip, n_gop, n_tile):
+    """The 2-D (gop, tile) program — frames DP-sharded over gop, MB-row
+    bands SP-sharded over tile with ppermute halos — stitches streams
+    byte-identical to the serial device-path encoder."""
+    import jax
+
+    from h264_fer_tpu.codec.encoder import Encoder, EncoderConfig
+    from h264_fer_tpu.codec.tpu_intra import TpuIntraPipeline
+    from h264_fer_tpu.parallel.tile import GopTileIntraEncoder
+
+    if n_gop * n_tile > len(jax.devices()):
+        pytest.skip("needs more virtual devices")
+    frames = clip[:3]  # uneven over gop=2: exercises padding
+    pipe = TpuIntraPipeline(176, 144, 28)
+    enc = Encoder(176, 144, EncoderConfig(qp=28, intra_every=1,
+                                          scene_cut_idr=False),
+                  tpu_pipeline=pipe, tpu_iframe=True)
+    serial = enc.encode_sequence(frames)
+
+    genc = GopTileIntraEncoder(176, 144, 28, n_gop=n_gop, n_tile=n_tile)
+    assert genc.encode_sequence(frames) == serial
+
+
 def test_tile_recon_matches_decoder(clip):
     """The band-stitched reconstruction equals what the decoder produces
     from the stitched stream (wavefront halo exchange is exact)."""
