@@ -74,22 +74,34 @@ def run_metric(which: str) -> None:
         fps = n / (time.perf_counter() - t0)
         name = "device_iframe_encode_1080p_fps_per_chip"
     else:
+        from h264_fer_tpu.parallel.gop_device import GopIntraEncoder
+
+        frames = _content(9)
+        # serial per-frame encoder: the byte-parity oracle (its streams
+        # are reference-decoder-verified); also warms the shared jitted
+        # frame program
         enc = Encoder(W, H, EncoderConfig(qp=QP, intra_every=1),
                       tpu_pipeline=TpuIntraPipeline(W, H, qp=QP),
                       tpu_iframe=True)
-        stream = enc.headers() + enc.encode_frame(*frames[0])  # compile
+        serial = enc.encode_sequence(frames)
+        # pipelined sequence encode: dispatch every frame's device program
+        # before any readback so tunnel transfers overlap compute
+        import jax
+
+        genc = GopIntraEncoder(W, H, QP, devices=jax.devices()[:1])
+        stream = genc.encode_sequence(frames)  # warm the pipelined path
         t0 = time.perf_counter()
-        n = 0
-        for f in frames[1:]:
-            stream += enc.encode_frame(*f)
-            n += 1
-        fps = n / (time.perf_counter() - t0)
-        # decodability gate: decode the last frame's NAL and compare
-        # against the encoder's own reconstruction
+        stream = genc.encode_sequence(frames)
+        fps = len(frames) / (time.perf_counter() - t0)
+        assert stream == serial, "pipelined stream != serial stream"
+        # decodability gate: the last IDR (self-contained) must decode to
+        # the serial encoder's reconstruction
+        from h264_fer_tpu.bitstream.nal import iter_nal_units
         from h264_fer_tpu.codec.decoder import Decoder
 
-        dec = Decoder()
-        got = list(dec.decode_annexb(stream))
+        last = stream.rfind(b"\x00\x00\x00\x01")
+        hdr_end = len(genc.headers())
+        got = list(Decoder().decode_annexb(stream[:hdr_end] + stream[last:]))
         ry, rcb, rcr = enc.reconstructed()
         assert np.array_equal(got[-1][0], ry), "decode mismatch"
         assert np.array_equal(got[-1][1], rcb)

@@ -144,6 +144,12 @@ class Encoder:
         t0 = time.time()
         is_idr = self._select_nal_unit_type(y)
         self.curr_frame_count += 1
+        if is_idr:
+            # IDR resets all prediction state: the MV field must not leak
+            # across GOP boundaries (it otherwise could, via the
+            # trailing-skip drop restore in the first P frame), so
+            # GOP-parallel encode stays byte-identical to serial.
+            self.mv[:] = 0
         if is_idr and self.tpu_iframe and self.tpu_pipeline is not None \
                 and self.tpu_entropy:
             # fully-device I-frame: no host working-frame conversion, no
@@ -919,9 +925,8 @@ class Encoder:
                 jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
                 wmb=self.wmb, hmb=self.hmb, qp=self.qpy, qpc=self.qpc,
                 nw=nw, cap=cap)
-            nbits = int(out["nbits"])
-            if ((nw is None or nbits <= 32 * nw)
-                    and bool(out["pack_ok"])):
+            nbits, pok = (int(v) for v in np.asarray(out["meta"]))
+            if (nw is None or nbits <= 32 * nw) and pok:
                 break
         # Read back the payload in power-of-two word buckets: a raw
         # [:n] slice would trace a new program per distinct frame size
@@ -965,9 +970,8 @@ class Encoder:
                 cfg_maxdiff=self.cfg.maxdiff,
                 prefilter=bool(self.cfg.lossy_prefilter and self.qpy < 36),
                 nw=nw, cap=cap)
-            nbits = int(out["nbits"])
-            if ((nw is None or nbits <= 32 * nw)
-                    and bool(out["pack_ok"])):
+            nbits, pok, trail_bits = (int(v) for v in np.asarray(out["meta"]))
+            if (nw is None or nbits <= 32 * nw) and pok:
                 break
         nwords = (nbits + 31) // 32
         step = max(1024, (1 << (nwords - 1).bit_length()) // 8)
@@ -1010,8 +1014,7 @@ class Encoder:
         # trailing-skip drop emulation (see the host loop below): when
         # everything after the last coded MB fits in the final RBSP byte,
         # decoders never read the trailing run — those MBs keep their
-        # previous-frame pixels and state
-        trail_bits = int(out["trail_bits"])
+        # previous-frame pixels and state. (trail_bits came in via meta.)
         trail_run = int(skip[::-1].argmin()) if coded.any() else nmb
         if trail_bits > 0 and coded.any():
             total_bits = w.bit_position

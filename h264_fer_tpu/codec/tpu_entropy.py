@@ -260,6 +260,9 @@ def mixed_slice_entropy(choice4, mode16, cmode, i16dc, i16ac, lv4,
         "words": words,
         "nbits": nbits,
         "pack_ok": pack_ok,
+        # one-readback sync word: [nbits, pack_ok] — callers fetch this
+        # single tiny array instead of two scalar RTTs over the tunnel
+        "meta": jnp.stack([nbits, pack_ok.astype(jnp.int32)]),
         "mb_type": mb_type,
         "cbp_luma": cbp_luma,
         "cbp_chroma": cbp_c,
@@ -362,6 +365,9 @@ def p_slice_entropy_impl(skip, mb_type, mvd, luma_levels, cdc, cac,
         "words": words,
         "nbits": nbits,
         "pack_ok": pack_ok,
+        # one-readback sync word: [nbits, pack_ok, trail_bits] — callers
+        # fetch this single tiny array instead of three scalar RTTs
+        "meta": jnp.stack([nbits, pack_ok.astype(jnp.int32), t_l]),
         "trail_bits": t_l,
         "cbp_luma": cbp_l,
         "cbp_chroma": cbp_c,
@@ -473,6 +479,9 @@ def i16_slice_entropy(mode16, cmode, i16dc, i16ac, cdc, cac,
         "words": words,
         "nbits": nbits,
         "pack_ok": pack_ok,
+        # one-readback sync word: [nbits, pack_ok] — callers fetch this
+        # single tiny array instead of two scalar RTTs over the tunnel
+        "meta": jnp.stack([nbits, pack_ok.astype(jnp.int32)]),
         "mb_type": mb_type,
         "cbp_luma": cbp_l,
         "cbp_chroma": cbp_c,

@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..bitstream import nal as nal_mod
 from ..bitstream.bitio import BitWriter
-from ..bitstream.params import I_SLICE, PPS, SPS, SliceHeader
+from ..bitstream.params import I_SLICE, P_SLICE, PPS, SPS, SliceHeader
 from ..ops import transform
 from ..ops.cavlc_jax import words_to_bytes
 
@@ -95,19 +95,37 @@ class GopIntraEncoder:
         if n_dev == 1:
             # single chip: the per-frame program as-is (no vmap batch dim —
             # reuses the serial path's compiled program; measured: the
-            # vmapped recompile is minutes-slow over the axon tunnel)
+            # vmapped recompile is minutes-slow over the axon tunnel).
+            # PIPELINED: IDR frames are independent, so dispatch every
+            # frame's program before any readback — uploads, compute and
+            # downloads of successive frames overlap instead of paying
+            # per-frame tunnel round trips (~120 ms each at 1080p).
+            tiers = ((self.nmb * 24, 8), (self.nmb * 192, 24), (None, None))
+
+            def dispatch(f, nw, cap):
+                return self._frame_fn(
+                    jnp.asarray(f[0]), jnp.asarray(f[1]), jnp.asarray(f[2]),
+                    wmb=self.wmb, hmb=self.hmb, qp=self.qp,
+                    qpc=self.qpc, nw=nw, cap=cap)
+
+            nw0, cap0 = tiers[0]
+            outs = [dispatch(f, nw0, cap0) for f in frames]
             words, nbits = [], []
-            for y, cb, cr in frames:
-                for nw, cap in ((self.nmb * 24, 8), (self.nmb * 192, 24),
-                                (None, None)):
-                    out = self._frame_fn(
-                        jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
-                        wmb=self.wmb, hmb=self.hmb, qp=self.qp,
-                        qpc=self.qpc, nw=nw, cap=cap)
-                    nb = int(out["nbits"])
-                    if (nw is None or nb <= 32 * nw) and bool(out["pack_ok"]):
-                        break
-                words.append(np.asarray(out["words"]))
+            for f, out in zip(frames, outs):
+                nb, pok = (int(v) for v in np.asarray(out["meta"]))
+                if nb > 32 * nw0 or not pok:  # rare: escalate this frame
+                    for nw, cap in tiers[1:]:
+                        out = dispatch(f, nw, cap)
+                        nb, pok = (int(v) for v in np.asarray(out["meta"]))
+                        if (nw is None or nb <= 32 * nw) and pok:
+                            break
+                # bucketed readback (see encoder._device_iframe_encode_full):
+                # power-of-two word buckets keep the slice program cached
+                nwords = (nb + 31) // 32
+                step = max(1024, (1 << max(nwords - 1, 1).bit_length()) // 8)
+                bucket = -(-nwords // step) * step
+                words.append(np.asarray(
+                    out["words"][: min(bucket, out["words"].shape[0])]))
                 nbits.append(nb)
             return words, np.asarray(nbits)
         pad = (-b) % n_dev  # shard evenly; padded frames are discarded
@@ -152,6 +170,185 @@ class GopIntraEncoder:
         w.append_bits(words_to_bytes(frame_words, nbits), nbits)
         w.rbsp_trailing_bits()
         return nal_mod.write_nal_unit(1, nal_mod.NAL_IDR, w.getvalue())
+
+
+class GopIpppEncoder:
+    """IPPP sequence encoder sharded over a 1-D ``gop`` device mesh.
+
+    The sequence splits into IDR-delimited GOPs of ``gop_len`` frames;
+    each GOP is one fully-device program (codec/tpu_gop.device_gop_ippp:
+    device I-frame, then a lax.scan P-frame chain carrying the DPB and MV
+    state), and GOPs batch across devices — temporal data parallelism
+    with zero collectives. Streams are byte-identical to the serial
+    ``Encoder(tpu_iframe=True, tpu_pframe=True, intra_every=gop_len)``.
+    """
+
+    def __init__(self, width: int, height: int, qp: int, gop_len: int,
+                 window_size: int = 16, maxdiff: int = -1,
+                 lossy_prefilter: bool = True, devices=None) -> None:
+        assert width % 16 == 0 and height % 16 == 0
+        assert gop_len >= 2, "use GopIntraEncoder for all-intra"
+        self.w, self.h, self.qp, self.T = width, height, qp, gop_len
+        self.wmb, self.hmb = width // 16, height // 16
+        self.nmb = self.wmb * self.hmb
+        self.qpc = transform.chroma_qp(qp, 0)
+        self.window = window_size // 2
+        self.maxdiff = maxdiff
+        self.prefilter = bool(lossy_prefilter and qp < 36)
+        self.sps = SPS(pic_width_in_mbs=self.wmb,
+                       pic_height_in_map_units=self.hmb)
+        self.pps = PPS(pic_init_qp=14 + qp)
+        self.devices = list(devices) if devices is not None else jax.devices()
+        self.mesh = Mesh(np.asarray(self.devices), ("gop",))
+        # P slice headers: frame_num/POC sequences are deterministic, so
+        # the header bytes (and the bit counts the device scan needs for
+        # the trailing-skip drop) are precomputed once
+        self._p_hdrs = []
+        for j in range(1, gop_len):
+            shd = SliceHeader(
+                slice_type=P_SLICE, frame_num=j & (self.sps.max_frame_num - 1),
+                idr_pic_id=0,
+                pic_order_cnt_lsb=(2 * j) & (
+                    (1 << self.sps.log2_max_pic_order_cnt_lsb) - 1),
+                slice_qp_delta=-14, disable_deblocking_filter_idc=1)
+            w = BitWriter()
+            shd.write(w, self.sps, self.pps, nal_mod.NAL_NOT_IDR, 1)
+            bits = w.bit_position
+            if w.bit_position % 8:  # zero-pad for storage; append_bits
+                w.write(0, 8 - w.bit_position % 8)  # replays `bits` only
+            self._p_hdrs.append((w.getvalue(), bits))
+        self._hdr_bits = np.asarray([b for _, b in self._p_hdrs], np.int32)
+        self._cache = {}
+
+    def headers(self) -> bytes:
+        w = BitWriter()
+        self.sps.write(w)
+        w.rbsp_trailing_bits()
+        out = nal_mod.write_nal_unit(1, nal_mod.NAL_SPS, w.getvalue())
+        w = BitWriter()
+        self.pps.write(w)
+        w.rbsp_trailing_bits()
+        return out + nal_mod.write_nal_unit(1, nal_mod.NAL_PPS, w.getvalue())
+
+    def _gop_fn(self, nw, cap):
+        from ..codec.tpu_gop import device_gop_ippp
+
+        return functools.partial(
+            device_gop_ippp, wmb=self.wmb, hmb=self.hmb, window=self.window,
+            qp=self.qp, qpc=self.qpc, cfg_maxdiff=self.maxdiff,
+            prefilter=self.prefilter, nw_i=nw, cap_i=cap, nw_p=nw,
+            cap_p=cap)
+
+    def _batched(self, nw, cap):
+        key = (nw, cap)
+        if key not in self._cache:
+            core = self._gop_fn(nw, cap)
+            sh = NamedSharding(self.mesh, P("gop"))
+
+            def run(ys, cbs, crs, hdr_bits):
+                out = jax.vmap(core, in_axes=(0, 0, 0, None))(
+                    ys, cbs, crs, hdr_bits)
+                return (out["words_i"], out["meta_i"],
+                        out["words_p"], out["meta_p"])
+
+            self._cache[key] = jax.jit(
+                run, in_shardings=(sh, sh, sh, None),
+                out_shardings=(sh, sh, sh, sh))
+        return self._cache[key]
+
+    def _meta_ok(self, meta_i, meta_p, nw) -> bool:
+        ms = np.concatenate(
+            [np.asarray(meta_i)[..., None, :2].reshape(-1, 2),
+             np.asarray(meta_p)[..., :2].reshape(-1, 2)])
+        size_ok = True if nw is None else bool((ms[:, 0] <= 32 * nw).all())
+        return size_ok and bool((ms[:, 1] > 0).all())
+
+    def _device_payloads(self, gops):
+        """gops: (G, T, ...) plane stacks. Returns host (words_i, meta_i,
+        words_p, meta_p) with the gop padding removed by the caller."""
+        n_dev = len(self.devices)
+        hdr_bits = jnp.asarray(self._hdr_bits)
+        tiers = ((self.nmb * 24, 8), (self.nmb * 192, 24), (None, None))
+        ys, cbs, crs = gops
+        if n_dev == 1:
+            # pipelined: dispatch every GOP's program before any readback
+            nw0, cap0 = tiers[0]
+            fn = self._gop_fn(nw0, cap0)
+            outs = [fn(jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
+                       hdr_bits) for y, cb, cr in zip(ys, cbs, crs)]
+            res = []
+            for g, out in enumerate(outs):
+                if not self._meta_ok(out["meta_i"], out["meta_p"], nw0):
+                    for nw, cap in tiers[1:]:  # rare: escalate this GOP
+                        out = self._gop_fn(nw, cap)(
+                            jnp.asarray(ys[g]), jnp.asarray(cbs[g]),
+                            jnp.asarray(crs[g]), hdr_bits)
+                        if self._meta_ok(out["meta_i"], out["meta_p"], nw):
+                            break
+                res.append(tuple(np.asarray(out[k]) for k in
+                           ("words_i", "meta_i", "words_p", "meta_p")))
+            return (np.stack([r[0] for r in res]),
+                    np.stack([r[1] for r in res]),
+                    np.stack([r[2] for r in res]),
+                    np.stack([r[3] for r in res]))
+        ysj = jnp.asarray(np.stack(ys))
+        cbsj = jnp.asarray(np.stack(cbs))
+        crsj = jnp.asarray(np.stack(crs))
+        for nw, cap in tiers:
+            wi, mi, wp, mp = self._batched(nw, cap)(ysj, cbsj, crsj, hdr_bits)
+            if self._meta_ok(mi, mp, nw):
+                break
+        return (np.asarray(wi), np.asarray(mi),
+                np.asarray(wp), np.asarray(mp))
+
+    def encode_sequence(self, frames) -> bytes:
+        """frames: list of (y, cb, cr) uint8 planes; length need not be a
+        multiple of gop_len or the device count (padded GOPs/frames are
+        encoded and discarded)."""
+        b = len(frames)
+        T = self.T
+        fpad = (-b) % T
+        padded = list(frames) + [frames[-1]] * fpad
+        n_gop = len(padded) // T
+        gpad = 0 if len(self.devices) == 1 else (-n_gop) % len(self.devices)
+        ys = np.stack([f[0] for f in padded]).reshape(
+            n_gop, T, self.h, self.w)
+        cbs = np.stack([f[1] for f in padded]).reshape(
+            n_gop, T, self.h // 2, self.w // 2)
+        crs = np.stack([f[2] for f in padded]).reshape(
+            n_gop, T, self.h // 2, self.w // 2)
+        if gpad:
+            rep = lambda a: np.concatenate(  # noqa: E731
+                [a, np.repeat(a[-1:], gpad, axis=0)])
+            ys, cbs, crs = rep(ys), rep(cbs), rep(crs)
+        wi, mi, wp, mp = self._device_payloads((ys, cbs, crs))
+        out = bytearray(self.headers())
+        for g in range(n_gop):
+            for j in range(T):
+                if g * T + j >= b:
+                    break
+                if j == 0:
+                    shd = SliceHeader(
+                        slice_type=I_SLICE, frame_num=0, idr_pic_id=0,
+                        pic_order_cnt_lsb=0, slice_qp_delta=-14,
+                        disable_deblocking_filter_idc=1)
+                    w = BitWriter()
+                    shd.write(w, self.sps, self.pps, nal_mod.NAL_IDR, 1)
+                    nbits = int(mi[g][0])
+                    w.append_bits(words_to_bytes(wi[g], nbits), nbits)
+                    w.rbsp_trailing_bits()
+                    out += nal_mod.write_nal_unit(
+                        1, nal_mod.NAL_IDR, w.getvalue())
+                else:
+                    hdr_bytes, hdr_bits = self._p_hdrs[j - 1]
+                    w = BitWriter()
+                    w.append_bits(hdr_bytes, hdr_bits)
+                    nbits = int(mp[g, j - 1, 0])
+                    w.append_bits(words_to_bytes(wp[g, j - 1], nbits), nbits)
+                    w.rbsp_trailing_bits()
+                    out += nal_mod.write_nal_unit(
+                        1, nal_mod.NAL_NOT_IDR, w.getvalue())
+        return bytes(out)
 
 
 def measure_scaling(width: int, height: int, qp: int, n_frames: int = 8,

@@ -51,6 +51,45 @@ def test_gop_sharded_uneven_batch(clip):
     assert genc.encode_sequence(frames) == serial
 
 
+@pytest.mark.parametrize("n_dev,n_frames", [(1, 6), (2, 6), (4, 7)])
+def test_gop_ippp_sharded_equals_serial(clip, n_dev, n_frames):
+    """Whole-GOP device programs (IDR + scanned P chain) sharded over the
+    gop axis must be byte-identical to the serial device-path IPPP
+    encoder — including uneven frame/GOP counts and the trailing-skip
+    drop state feedback inside the scan."""
+    import jax
+
+    from h264_fer_tpu.codec.tpu_intra import TpuIntraPipeline
+    from h264_fer_tpu.parallel.gop_device import GopIpppEncoder
+
+    frames = clip[:n_frames]
+    T = 3
+    pipe = TpuIntraPipeline(176, 144, 28)
+    enc = Encoder(176, 144, EncoderConfig(qp=28, intra_every=T,
+                                          scene_cut_idr=False),
+                  tpu_pipeline=pipe, tpu_iframe=True, tpu_pframe=True)
+    serial = enc.encode_sequence(frames)
+
+    genc = GopIpppEncoder(176, 144, 28, gop_len=T,
+                          devices=jax.devices()[:n_dev])
+    assert genc.encode_sequence(frames) == serial
+
+
+def test_gop_ippp_stream_decodes(clip):
+    """The GOP-device IPPP stream round-trips through the decoder."""
+    from h264_fer_tpu.codec.decoder import Decoder
+    from h264_fer_tpu.parallel.gop_device import GopIpppEncoder
+
+    import jax
+
+    frames = clip[:4]
+    genc = GopIpppEncoder(176, 144, 30, gop_len=4,
+                          devices=jax.devices()[:1])
+    data = genc.encode_sequence(frames)
+    outs = list(Decoder().decode_annexb(data))
+    assert len(outs) == 4
+
+
 def test_gop_sharded_stream_decodes(clip):
     """The stitched stream round-trips through the decoder."""
     from h264_fer_tpu.codec.decoder import Decoder
