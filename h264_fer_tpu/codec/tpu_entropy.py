@@ -180,11 +180,10 @@ def chroma_setup(cdc, cac, wmb: int, hmb: int):
     }
 
 
-@functools.partial(jax.jit, static_argnames=("wmb", "hmb", "nw", "cap"))
-def mixed_slice_entropy(choice4, mode16, cmode, i16dc, i16ac, lv4,
-                        prev_flags, rem_modes, cbp_luma, tc_luma,
-                        cdc, cac, wmb: int, hmb: int,
-                        nw: int | None = None, cap: int | None = None):
+def mixed_slice_entropy_impl(choice4, mode16, cmode, i16dc, i16ac, lv4,
+                             prev_flags, rem_modes, cbp_luma, tc_luma,
+                             cdc, cac, wmb: int, hmb: int,
+                             nw: int | None = None, cap: int | None = None):
     """Whole-slice macroblock_layer bits for a mixed I4x4/I16 frame.
 
     choice4/cbp_luma/tc_luma/prev_flags/rem_modes come from the
@@ -270,6 +269,13 @@ def mixed_slice_entropy(choice4, mode16, cmode, i16dc, i16ac, lv4,
         "tc_chroma": ch["tc_chroma"],
         "nz_luma": nz_luma,
     }
+
+
+# jitted top-level entry; device programs embedding this call the _impl
+# (see codec/tpu_intra.py on the jax-0.9 nested-jit const-lifting bug)
+mixed_slice_entropy = functools.partial(
+    jax.jit, static_argnames=("wmb", "hmb", "nw", "cap"))(
+        mixed_slice_entropy_impl)
 
 
 def p_slice_entropy_impl(skip, mb_type, mvd, luma_levels, cdc, cac,
@@ -382,10 +388,9 @@ p_slice_entropy = functools.partial(
     jax.jit, static_argnames=("wmb", "hmb", "nw", "cap"))(p_slice_entropy_impl)
 
 
-@functools.partial(jax.jit, static_argnames=("wmb", "hmb", "nw", "cap"))
-def i16_slice_entropy(mode16, cmode, i16dc, i16ac, cdc, cac,
-                      wmb: int, hmb: int, nw: int | None = None,
-                      cap: int | None = None, top_ctx=None):
+def i16_slice_entropy_impl(mode16, cmode, i16dc, i16ac, cdc, cac,
+                           wmb: int, hmb: int, nw: int | None = None,
+                           cap: int | None = None, top_ctx=None):
     """Whole-slice macroblock_layer bits for an all-I16 frame, on device.
 
     Returns dict: words (uint32 payload, bit 0 = first payload bit),
@@ -488,3 +493,10 @@ def i16_slice_entropy(mode16, cmode, i16dc, i16ac, cdc, cac,
         "tc_luma": tc_luma,
         "tc_chroma": tc_chroma,
     }
+
+
+# jitted top-level entry; device programs embedding this call the _impl
+# (see codec/tpu_intra.py on the jax-0.9 nested-jit const-lifting bug)
+i16_slice_entropy = functools.partial(
+    jax.jit, static_argnames=("wmb", "hmb", "nw", "cap"))(
+        i16_slice_entropy_impl)

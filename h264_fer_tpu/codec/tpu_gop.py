@@ -31,14 +31,11 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "wmb", "hmb", "window", "qp", "qpc", "cfg_maxdiff", "prefilter",
-    "nw_i", "cap_i", "nw_p", "cap_p"))
-def device_gop_ippp(ys, cbs, crs, p_hdr_bits,
-                    wmb: int, hmb: int, window: int, qp: int, qpc: int,
-                    cfg_maxdiff: int, prefilter: bool,
-                    nw_i: int | None = None, cap_i: int | None = None,
-                    nw_p: int | None = None, cap_p: int | None = None):
+def device_gop_ippp_impl(ys, cbs, crs, p_hdr_bits,
+                         wmb: int, hmb: int, window: int, qp: int, qpc: int,
+                         cfg_maxdiff: int, prefilter: bool,
+                         nw_i: int | None = None, cap_i: int | None = None,
+                         nw_p: int | None = None, cap_p: int | None = None):
     """ys/cbs/crs: (T, ...) uint8 planes, frame 0 is the IDR.
     p_hdr_bits: (T-1,) int32 slice-header bit counts of the P frames.
     Returns words_i/meta_i for the IDR and stacked words_p (T-1, nw_p) /
@@ -47,7 +44,7 @@ def device_gop_ippp(ys, cbs, crs, p_hdr_bits,
     from ..kernels.wavefront_p import pframe_decide_impl as pframe_decide
     from ..ops.interp import interpolated_planes_jax, pad_chroma_jax
     from .tpu_entropy import p_slice_entropy_impl as p_slice_entropy
-    from .tpu_iframe import device_i16_frame
+    from .tpu_iframe import device_i16_frame_impl as device_i16_frame
     from .tpu_pframe import (
         adaptive_maxdiff,
         mc_chroma_bulk,
@@ -137,3 +134,10 @@ def device_gop_ippp(ys, cbs, crs, p_hdr_bits,
         "recon_cb": fcb,
         "recon_cr": fcr,
     }
+
+
+# jitted top-level entry; the sharded batched path embeds the _impl
+# (see codec/tpu_intra.py on the jax-0.9 nested-jit const-lifting bug)
+device_gop_ippp = functools.partial(jax.jit, static_argnames=(
+    "wmb", "hmb", "window", "qp", "qpc", "cfg_maxdiff", "prefilter",
+    "nw_i", "cap_i", "nw_p", "cap_p"))(device_gop_ippp_impl)

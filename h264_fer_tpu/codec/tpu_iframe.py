@@ -9,27 +9,28 @@ reads back only the packed payload (content-sized — hundreds of KB at
 1080p, not the ~16 MB of level arrays the round-1 path moved) and inserts
 emulation-prevention bytes; reconstruction and per-MB syntax state stay
 device-resident for the next frame.
+
+The ``*_impl`` variants are unjitted bodies for embedding inside larger
+device programs (codec/tpu_gop.py, parallel/gop_device.py batched paths);
+see codec/tpu_intra.py on the jax-0.9 nested-jit const-lifting bug that
+makes calling the jitted entries from inside another jit unsafe.
 """
 
 from __future__ import annotations
 
 import functools
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 
-from ..kernels.wavefront import wavefront_i16_frame
+from ..kernels.wavefront import wavefront_i16_frame_impl
 from ..ops.intra import INTRA16_TO_CHROMA_MODE
-from .tpu_entropy import i16_slice_entropy
-from .tpu_intra import intra_mode_decision
+from .tpu_entropy import i16_slice_entropy_impl
+from .tpu_intra import intra_mode_decision_impl
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("wmb", "hmb", "qp", "qpc", "nw", "cap"))
-def device_i16_frame(y, cb, cr, wmb: int, hmb: int, qp: int, qpc: int,
-                     nw: int | None = None, cap: int | None = None):
+def device_i16_frame_impl(y, cb, cr, wmb: int, hmb: int, qp: int, qpc: int,
+                          nw: int | None = None, cap: int | None = None):
     """y/cb/cr: uint8 or int32 source planes (device). Returns dict with
     recon planes, entropy payload words/nbits, and per-MB syntax state.
     nw: static payload capacity in words (None = worst case); when
@@ -37,15 +38,15 @@ def device_i16_frame(y, cb, cr, wmb: int, hmb: int, qp: int, qpc: int,
     y = y.astype(jnp.int32)
     cb = cb.astype(jnp.int32)
     cr = cr.astype(jnp.int32)
-    out = intra_mode_decision(
+    out = intra_mode_decision_impl(
         y, wmb=wmb, hmb=hmb, qp=qp, modes_only=True, i16_only=True)
     m16 = out["mode16"]
     cmode = jnp.asarray(INTRA16_TO_CHROMA_MODE)[m16]
     (recon_y, i16dc, i16ac, recon_cb, recon_cr, cdc, cac) = \
-        wavefront_i16_frame(y, cb, cr, m16, cmode,
-                            wmb=wmb, hmb=hmb, qp=qp, qpc=qpc)
-    ent = i16_slice_entropy(m16, cmode, i16dc, i16ac, cdc, cac,
-                            wmb=wmb, hmb=hmb, nw=nw, cap=cap)
+        wavefront_i16_frame_impl(y, cb, cr, m16, cmode,
+                                 wmb=wmb, hmb=hmb, qp=qp, qpc=qpc)
+    ent = i16_slice_entropy_impl(m16, cmode, i16dc, i16ac, cdc, cac,
+                                 wmb=wmb, hmb=hmb, nw=nw, cap=cap)
     nz_luma = i16ac.any(axis=2) | i16dc.any(axis=1)[:, None]
     return {
         "recon_y": recon_y,
@@ -56,33 +57,38 @@ def device_i16_frame(y, cb, cr, wmb: int, hmb: int, qp: int, qpc: int,
     }
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("wmb", "hmb", "qp", "qpc", "nw", "cap"))
-def device_mixed_frame(y, cb, cr, wmb: int, hmb: int, qp: int, qpc: int,
-                       nw: int | None = None, cap: int | None = None):
+device_i16_frame = functools.partial(
+    jax.jit, static_argnames=("wmb", "hmb", "qp", "qpc", "nw", "cap"))(
+        device_i16_frame_impl)
+
+
+def device_mixed_frame_impl(y, cb, cr, wmb: int, hmb: int, qp: int,
+                            qpc: int, nw: int | None = None,
+                            cap: int | None = None):
     """Mixed-mode device I-frame: exact Intra_4x4-vs-Intra_16x16
     arbitration by coded bit size (kernels/wavefront_mixed.py), chroma
     wavefront, and the whole slice's bits packed on device. Byte-identical
     to the host encoder's exact path driven by the same pre-decided modes
     (the tpu_pipeline-assisted host path)."""
-    from ..kernels.wavefront import wavefront_chroma
-    from ..kernels.wavefront_mixed import wavefront_mixed_luma
-    from .tpu_entropy import chroma_setup, mixed_slice_entropy
+    from ..kernels.wavefront import wavefront_chroma_impl
+    from ..kernels.wavefront_mixed import wavefront_mixed_luma_impl
+    from .tpu_entropy import chroma_setup, mixed_slice_entropy_impl
 
     y = y.astype(jnp.int32)
     cb = cb.astype(jnp.int32)
     cr = cr.astype(jnp.int32)
-    out = intra_mode_decision(y, wmb=wmb, hmb=hmb, qp=qp, modes_only=True)
+    out = intra_mode_decision_impl(y, wmb=wmb, hmb=hmb, qp=qp,
+                                   modes_only=True)
     m16 = out["mode16"]
     mode4 = out["mode4"]
     cmode = jnp.asarray(INTRA16_TO_CHROMA_MODE)[m16]
-    recon_cb, recon_cr, cdc, cac = wavefront_chroma(
+    recon_cb, recon_cr, cdc, cac = wavefront_chroma_impl(
         cb, cr, cmode, wmb=wmb, hmb=hmb, qp=qpc)
     ch = chroma_setup(cdc, cac, wmb, hmb)
-    mx = wavefront_mixed_luma(
+    mx = wavefront_mixed_luma_impl(
         y, m16, mode4, cmode, ch["cbp_chroma"], ch["bits"],
         wmb=wmb, hmb=hmb, qp=qp)
-    ent = mixed_slice_entropy(
+    ent = mixed_slice_entropy_impl(
         mx["choice4"], m16, cmode, mx["i16dc"], mx["i16ac"], mx["lv4"],
         mx["prev_flags"], mx["rem_modes"], mx["cbp_luma"], mx["tc_luma"],
         cdc, cac, wmb=wmb, hmb=hmb, nw=nw, cap=cap)
@@ -94,6 +100,11 @@ def device_mixed_frame(y, cb, cr, wmb: int, hmb: int, qp: int, qpc: int,
         "i4x4_mode": mode4,
         **ent,
     }
+
+
+device_mixed_frame = functools.partial(
+    jax.jit, static_argnames=("wmb", "hmb", "qp", "qpc", "nw", "cap"))(
+        device_mixed_frame_impl)
 
 
 @functools.partial(jax.jit, static_argnames=())

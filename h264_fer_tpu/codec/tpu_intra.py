@@ -52,14 +52,10 @@ def _satd_blocks(diff_blocks, qp: int):
     return jnp.abs(q).sum(axis=(-2, -1))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("wmb", "hmb", "qp", "modes_only", "frame_hmb",
-                     "i16_only"))
-def intra_mode_decision(y, wmb: int, hmb: int, qp: int, top_row=None,
-                        modes_only: bool = False,
-                        frame_hmb: int | None = None,
-                        i16_only: bool = False):
+def intra_mode_decision_impl(y, wmb: int, hmb: int, qp: int, top_row=None,
+                             modes_only: bool = False,
+                             frame_hmb: int | None = None,
+                             i16_only: bool = False):
     """Whole-frame intra mode pre-decision on the source frame.
 
     y: (H, W) int32 luma. `top_row`: optional (W,) int32 halo — the last
@@ -216,6 +212,19 @@ def intra_mode_decision(y, wmb: int, hmb: int, qp: int, top_row=None,
         "pred16": pred16,
         "q16": q16,
     }
+
+
+# Jitted top-level entry. Device programs that EMBED the mode decision
+# (tpu_iframe, parallel/tile, parallel/mesh) must call
+# intra_mode_decision_impl instead: nesting an already-executed jitted
+# function inside another jit trips a jax-0.9 const-lifting bug where the
+# outer executable expects the inner trace's hoisted table constants as
+# parameters that dispatch never supplies ("Execution supplied 4 buffers
+# but compiled program expected 128 buffers").
+intra_mode_decision = functools.partial(
+    jax.jit,
+    static_argnames=("wmb", "hmb", "qp", "modes_only", "frame_hmb",
+                     "i16_only"))(intra_mode_decision_impl)
 
 
 class TpuIntraPipeline:

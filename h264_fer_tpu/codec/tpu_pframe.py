@@ -33,13 +33,10 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "wmb", "hmb", "window", "qp", "qpc", "cfg_maxdiff", "prefilter", "nw",
-    "cap"))
-def device_p_frame(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr, prev_mv,
-                   wmb: int, hmb: int, window: int, qp: int, qpc: int,
-                   cfg_maxdiff: int, prefilter: bool,
-                   nw: int | None = None, cap: int | None = None):
+def device_p_frame_impl(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
+                        prev_mv, wmb: int, hmb: int, window: int, qp: int,
+                        qpc: int, cfg_maxdiff: int, prefilter: bool,
+                        nw: int | None = None, cap: int | None = None):
     """Fully-device P-frame encode: interp planes → bulk ME maps →
     decision wavefront → MC + residual + reconstruction → whole-slice
     entropy. One jitted program per geometry; the host reads back the
@@ -91,6 +88,13 @@ def device_p_frame(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr, prev_mv,
         "mv": dec["mv"],
         **ent,
     }
+
+
+# jitted top-level entry (see codec/tpu_intra.py on the jax-0.9
+# nested-jit const-lifting bug for why embedders use the _impl)
+device_p_frame = functools.partial(jax.jit, static_argnames=(
+    "wmb", "hmb", "window", "qp", "qpc", "cfg_maxdiff", "prefilter", "nw",
+    "cap"))(device_p_frame_impl)
 
 
 def me_params(qp: int) -> tuple[int, int]:

@@ -35,7 +35,9 @@ import jax.numpy as jnp
 from ..ops.deblock import ALPHA, BETA, TC0
 from ..ops.tables import RASTER_TO_LUMA_BLOCK
 
-_TC0 = jnp.asarray(TC0)
+# np table, NOT a module-level jnp Array (see kernels/wavefront_p.py
+# on the jax-0.9 cross-trace const-interning leak)
+_TC0 = np.asarray(TC0)
 # mv quadrant of each raster 4x4 block (loopfilter._blk_mv)
 _RASTER_Q = np.array([(b // 8) * 2 + (b % 4) // 2 for b in range(16)])
 
@@ -119,7 +121,7 @@ def _filter_lines(p, q, bs, alpha: int, beta: int, idx_a: int,
     aq = jnp.abs(q2 - q0)
 
     # --- bS 1..3 (normal) ---
-    tc0 = _TC0[jnp.clip(bs, 1, 3) - 1, idx_a]
+    tc0 = jnp.asarray(_TC0)[jnp.clip(bs, 1, 3) - 1, idx_a]
     if chroma:
         tc = tc0 + 1
     else:

@@ -219,8 +219,8 @@ def wavefront_i4x4_luma(y_src, modes, wmb: int, hmb: int, qp: int):
     return frame, lv_out[: nmb * 16].reshape(nmb, 16, 16)
 
 
-@functools.partial(jax.jit, static_argnames=("wmb", "hmb", "qp"))
-def wavefront_chroma(cb_src, cr_src, modes, wmb: int, hmb: int, qp: int):
+def wavefront_chroma_impl(cb_src, cr_src, modes, wmb: int, hmb: int,
+                          qp: int):
     """Reconstruct intra chroma for a frame (all MBs intra, per-MB modes).
 
     cb_src/cr_src: (H/2, W/2) int32; modes: (nmb,) chroma modes; qp is the
@@ -312,6 +312,12 @@ def wavefront_chroma(cb_src, cr_src, modes, wmb: int, hmb: int, qp: int):
 
     return (from_grid(recon[0]), from_grid(recon[1]),
             dc_out[:, :nmb], ac_out[:, :nmb])
+
+
+# jitted top-level entry; device programs embedding this call the _impl
+# (see codec/tpu_intra.py on the jax-0.9 nested-jit const-lifting bug)
+wavefront_chroma = functools.partial(
+    jax.jit, static_argnames=("wmb", "hmb", "qp"))(wavefront_chroma_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("wmb", "hmb", "qp"))
@@ -538,11 +544,9 @@ def wavefront_chroma_skewed(cb_src, cr_src, modes, wmb: int, hmb: int, qp: int):
     return cbp, crp, dcg, acg
 
 
-@functools.partial(
-    jax.jit, static_argnames=("wmb", "hmb", "qp", "qpc", "frame_hmb"))
-def wavefront_i16_frame(y_src, cb_src, cr_src, modes, cmodes,
-                        wmb: int, hmb: int, qp: int, qpc: int,
-                        frame_hmb: int | None = None):
+def wavefront_i16_frame_impl(y_src, cb_src, cr_src, modes, cmodes,
+                             wmb: int, hmb: int, qp: int, qpc: int,
+                             frame_hmb: int | None = None):
     """Fused luma+chroma I16 wavefront: one diagonal loop reconstructs all
     three planes (halves the per-step dispatch overhead of running the two
     skewed wavefronts back to back). Outputs match the separate kernels.
@@ -699,6 +703,13 @@ def wavefront_i16_frame(y_src, cb_src, cr_src, modes, cmodes,
         cdc_out[:, rg + cg, rb].reshape(2, nmb, 4),
         cac_out[:, rg + cg, rb].reshape(2, nmb, 4, 15),
     )
+
+
+# jitted top-level entry; device programs embedding this call the _impl
+# (see codec/tpu_intra.py on the jax-0.9 nested-jit const-lifting bug)
+wavefront_i16_frame = functools.partial(
+    jax.jit, static_argnames=("wmb", "hmb", "qp", "qpc", "frame_hmb"))(
+        wavefront_i16_frame_impl)
 
 
 @functools.partial(

@@ -51,9 +51,8 @@ def _gated_tc(tc, cbp, blk: int):
     return jnp.where((cbp >> (blk // 4)) & 1 != 0, tc[..., blk], 0)
 
 
-@functools.partial(jax.jit, static_argnames=("wmb", "hmb", "qp"))
-def wavefront_mixed_luma(y_src, mode16, mode4, cmode, cbp_c, chroma_bits,
-                         wmb: int, hmb: int, qp: int):
+def wavefront_mixed_luma_impl(y_src, mode16, mode4, cmode, cbp_c,
+                              chroma_bits, wmb: int, hmb: int, qp: int):
     """Returns dict with the winner reconstruction + levels + syntax state.
 
     y_src: (H, W) int32; mode16 (nmb,), mode4 (nmb, 16) pre-decided modes;
@@ -349,3 +348,9 @@ def wavefront_mixed_luma(y_src, mode16, mode4, cmode, cbp_c, chroma_bits,
         "cbp_luma": o_cbp[:nmb],
         "tc_luma": tcl[:hmb].reshape(nmb, 16),
     }
+
+
+# jitted top-level entry; device programs embedding this call the _impl
+# (see codec/tpu_intra.py on the jax-0.9 nested-jit const-lifting bug)
+wavefront_mixed_luma = functools.partial(
+    jax.jit, static_argnames=("wmb", "hmb", "qp"))(wavefront_mixed_luma_impl)

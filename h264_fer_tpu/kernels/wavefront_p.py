@@ -27,7 +27,12 @@ import jax
 import jax.numpy as jnp
 
 MB_SKIP = -2
-BIG = jnp.int32(2**31 - 1)
+# np scalar, NOT jnp: a module-level jax Array gets deduplicated across
+# traces by id inside jax-0.9's DynamicJaxprTrace const interning, leaking
+# a tracer from the first trace into the second trace's consts — which
+# trips pjit's separate_consts path whose C++/AOT dispatch is broken
+# ("Execution supplied 7 buffers but compiled program expected 131").
+BIG = np.int32(2**31 - 1)
 
 # partition width/height per mb_type 0..4 (h264_globals.h:123-128)
 _PW = np.array([16, 16, 8, 8, 8], np.int32)

@@ -47,7 +47,12 @@ class GopIntraEncoder:
     def __init__(self, width: int, height: int, qp: int,
                  mode: str = "i16", devices=None) -> None:
         assert width % 16 == 0 and height % 16 == 0
-        from ..codec.tpu_iframe import device_i16_frame, device_mixed_frame
+        from ..codec.tpu_iframe import (
+            device_i16_frame,
+            device_i16_frame_impl,
+            device_mixed_frame,
+            device_mixed_frame_impl,
+        )
 
         self.w, self.h, self.qp = width, height, qp
         self.wmb, self.hmb = width // 16, height // 16
@@ -58,15 +63,19 @@ class GopIntraEncoder:
         self.pps = PPS(pic_init_qp=14 + qp)
         self.devices = list(devices) if devices is not None else jax.devices()
         self.mesh = Mesh(np.asarray(self.devices), ("gop",))
+        # jitted entry for direct single-device dispatch; unjitted impl
+        # for embedding under vmap+jit (nested-jit bug, codec/tpu_intra.py)
         self._frame_fn = (device_mixed_frame if mode == "mixed"
                           else device_i16_frame)
+        self._frame_impl = (device_mixed_frame_impl if mode == "mixed"
+                            else device_i16_frame_impl)
         self._cache = {}
 
     def _batched(self, nw, cap):
         key = (nw, cap)
         if key not in self._cache:
             core = functools.partial(
-                self._frame_fn, wmb=self.wmb, hmb=self.hmb,
+                self._frame_impl, wmb=self.wmb, hmb=self.hmb,
                 qp=self.qp, qpc=self.qpc, nw=nw, cap=cap)
             sh = NamedSharding(self.mesh, P("gop"))
 
@@ -103,10 +112,14 @@ class GopIntraEncoder:
             tiers = ((self.nmb * 24, 8), (self.nmb * 192, 24), (None, None))
 
             def dispatch(f, nw, cap):
-                return self._frame_fn(
+                out = self._frame_fn(
                     jnp.asarray(f[0]), jnp.asarray(f[1]), jnp.asarray(f[2]),
                     wmb=self.wmb, hmb=self.hmb, qp=self.qp,
                     qpc=self.qpc, nw=nw, cap=cap)
+                # retain only the payload outputs: holding the full dict
+                # would pin every frame's recon planes in device memory
+                # until the readback loop reaches it (O(frames) HBM)
+                return {"words": out["words"], "meta": out["meta"]}
 
             nw0, cap0 = tiers[0]
             outs = [dispatch(f, nw0, cap0) for f in frames]
@@ -180,7 +193,11 @@ class GopIpppEncoder:
     device I-frame, then a lax.scan P-frame chain carrying the DPB and MV
     state), and GOPs batch across devices — temporal data parallelism
     with zero collectives. Streams are byte-identical to the serial
-    ``Encoder(tpu_iframe=True, tpu_pframe=True, intra_every=gop_len)``.
+    ``Encoder(tpu_iframe=True, tpu_pframe=True, intra_every=gop_len)``
+    ONLY under that encoder's matching config: ``deblock=False`` (the
+    emitted headers hardcode disable_deblocking_filter_idc=1) and
+    ``scene_cut_idr=False`` (a SAD-triggered IDR would break the fixed
+    gop_len split; use the serial encoder for adaptive GOPs).
     """
 
     def __init__(self, width: int, height: int, qp: int, gop_len: int,
@@ -230,11 +247,14 @@ class GopIpppEncoder:
         w.rbsp_trailing_bits()
         return out + nal_mod.write_nal_unit(1, nal_mod.NAL_PPS, w.getvalue())
 
-    def _gop_fn(self, nw, cap):
-        from ..codec.tpu_gop import device_gop_ippp
+    def _gop_fn(self, nw, cap, impl: bool = False):
+        from ..codec.tpu_gop import device_gop_ippp, device_gop_ippp_impl
 
+        # impl=True: unjitted body for embedding under vmap+jit
+        # (nested-jit bug, see codec/tpu_intra.py)
         return functools.partial(
-            device_gop_ippp, wmb=self.wmb, hmb=self.hmb, window=self.window,
+            device_gop_ippp_impl if impl else device_gop_ippp,
+            wmb=self.wmb, hmb=self.hmb, window=self.window,
             qp=self.qp, qpc=self.qpc, cfg_maxdiff=self.maxdiff,
             prefilter=self.prefilter, nw_i=nw, cap_i=cap, nw_p=nw,
             cap_p=cap)
@@ -242,7 +262,7 @@ class GopIpppEncoder:
     def _batched(self, nw, cap):
         key = (nw, cap)
         if key not in self._cache:
-            core = self._gop_fn(nw, cap)
+            core = self._gop_fn(nw, cap, impl=True)
             sh = NamedSharding(self.mesh, P("gop"))
 
             def run(ys, cbs, crs, hdr_bits):
@@ -274,8 +294,12 @@ class GopIpppEncoder:
             # pipelined: dispatch every GOP's program before any readback
             nw0, cap0 = tiers[0]
             fn = self._gop_fn(nw0, cap0)
-            outs = [fn(jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
-                       hdr_bits) for y, cb, cr in zip(ys, cbs, crs)]
+            keep = ("words_i", "meta_i", "words_p", "meta_p")
+            # retain only payload outputs: the full dict would pin every
+            # GOP's recon planes in device memory until readback (ADVICE)
+            outs = [{k: o[k] for k in keep} for o in
+                    (fn(jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
+                        hdr_bits) for y, cb, cr in zip(ys, cbs, crs))]
             res = []
             for g, out in enumerate(outs):
                 if not self._meta_ok(out["meta_i"], out["meta_p"], nw0):

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..codec.tpu_intra import intra_mode_decision
+from ..codec.tpu_intra import intra_mode_decision_impl
 
 
 def make_mesh(n_gop: int, n_tile: int, devices=None) -> Mesh:
@@ -64,7 +64,7 @@ def sharded_intra_step(mesh: Mesh, frame_h: int, frame_w: int, qp: int):
         halo = jnp.where(tile_idx == 0, -1, halo)
 
         def per_frame(y2d, top_row):
-            out = intra_mode_decision(
+            out = intra_mode_decision_impl(
                 y2d, wmb=wmb, hmb=hmb_band, qp=qp, top_row=top_row
             )
             return out["mode16"], out["mode4"], out["satd16"], out["q16"]

@@ -42,8 +42,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..bitstream import nal as nal_mod
 from ..bitstream.bitio import BitWriter
 from ..bitstream.params import I_SLICE, PPS, SPS, SliceHeader
-from ..codec.tpu_entropy import i16_slice_entropy
-from ..codec.tpu_intra import intra_mode_decision
+from ..codec.tpu_entropy import i16_slice_entropy_impl
+from ..codec.tpu_intra import intra_mode_decision_impl
 from ..ops import intra, transform
 from ..ops.cavlc_jax import words_to_bytes
 from ..ops.intra import INTRA16_TO_CHROMA_MODE
@@ -283,9 +283,9 @@ def _make_band(wmb: int, hmb: int, hloc: int, n_tile: int, qp: int,
         # source top halo for the mode decision
         top_row = jax.lax.ppermute(y[-1], "tile", perm)
         top_row = jnp.where(t > 0, top_row, -1)
-        md = intra_mode_decision(y, wmb=wmb, hmb=hloc, qp=qp,
-                                 top_row=top_row, modes_only=True,
-                                 i16_only=True)
+        md = intra_mode_decision_impl(y, wmb=wmb, hmb=hloc, qp=qp,
+                                      top_row=top_row, modes_only=True,
+                                      i16_only=True)
         m16 = md["mode16"]
         cmode = jnp.asarray(INTRA16_TO_CHROMA_MODE)[m16]
         (ry, rcb, rcr, i16dc, i16ac, cdc, cac) = _banded_i16_wavefront(
@@ -296,7 +296,7 @@ def _make_band(wmb: int, hmb: int, hloc: int, n_tile: int, qp: int,
         state = _band_state_last_row(i16dc, i16ac, cdc, cac, wmb, hloc)
         t_tc_l, t_cbp_l, t_tc_c, t_cbp_c = jax.lax.ppermute(
             state, "tile", perm)
-        ent = i16_slice_entropy(
+        ent = i16_slice_entropy_impl(
             m16, cmode, i16dc, i16ac, cdc, cac,
             wmb=wmb, hmb=hloc, nw=nw, cap=cap,
             top_ctx=(t_tc_l, t_cbp_l, t_tc_c, t_cbp_c, t > 0))
