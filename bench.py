@@ -1,25 +1,31 @@
-"""Benchmark: end-to-end device I-frame encode throughput at 1080p.
+"""Benchmark: end-to-end device encode throughput at 1080p.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is against the reference's best published all-intra figure:
-2.92 fps at 1920×816 with its OpenCL offload (BASELINE.md, Diplomski.docx
-Table 6.5).
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}; the
+headline metric is the all-intra 1080p e2e fps, and the ``extra`` field
+carries every other metric that completed (IPPP 1080p e2e, device-only,
+decode). vs_baseline is against the reference's best published all-intra
+figure: 2.92 fps at 1920×816 with its OpenCL offload (BASELINE.md,
+Diplomski.docx Table 6.5).
 
-Metrics, deepest-first with subprocess timeouts (the axon tunnel has shown
-compile hangs and worker crashes; the driver must still get a line):
+Metrics (each in its own subprocess so a compile hang can't kill the
+round; the JAX persistent compilation cache makes retries and reruns skip
+the 1080p compiles that cost round 3 its number):
 
-  e2e      — TRUE end-to-end: uint8 frames on the host in, decodable
-             Annex-B bytes out (modes + wavefront recon + whole-slice
-             CAVLC packed on device, EPB + NAL framing on host), timed
-             over the full encode_frame loop. The stream is decoded and
-             checked against the encoder reconstruction before the number
-             is reported.
-  device   — device-side frame program throughput (modes + wavefront +
-             slice entropy, synced by the nbits scalar readback): the
-             per-chip compute number, excluding the host↔tunnel byte
-             moves that dominate e2e on this remote-TPU setup.
+  e2e      — TRUE end-to-end all-intra: uint8 frames on the host in,
+             decodable Annex-B bytes out (modes + wavefront recon +
+             whole-slice CAVLC packed on device, EPB + NAL framing on
+             host), timed over the full pipelined sequence encode. The
+             stream is parity-checked against the serial encoder and
+             decode-gated before the number is reported.
+  ippp     — TRUE end-to-end IPPP (GOP = IDR + 7 P frames): the whole-GOP
+             device program (ME maps + decision wavefront + MC/residual/
+             recon + slice entropy chained by lax.scan), decode-gated.
+  device   — device-side frame program throughput (the per-chip compute
+             number, excluding host↔tunnel byte moves).
+  qcif     — QCIF all-intra e2e fallback so the driver records a real
+             number even when the 1080p compiles exceed every budget.
 
-Usage: python bench.py [--metric e2e|device]  (no arg: orchestrate)
+Usage: python bench.py [--metric e2e|ippp|device|qcif]  (no arg: orchestrate)
 """
 
 import json
@@ -34,33 +40,66 @@ REF_FPS = 2.92
 W, H, QP = 1920, 1088, 28
 
 
-def _content(n):
+def _content(n, w=W, h=H):
     """Structured test frames (gradients + texture — realistic CAVLC
     load, unlike uniform noise)."""
     rng = np.random.default_rng(7)
-    yy, xx = np.mgrid[0:H, 0:W]
+    yy, xx = np.mgrid[0:h, 0:w]
     frames = []
     for i in range(n):
         y = (((xx // 7 + yy // 5 + 3 * i) % 200)
-             + rng.integers(0, 12, (H, W))).astype(np.uint8)
-        cb = rng.integers(100, 140, (H // 2, W // 2)).astype(np.uint8)
-        cr = rng.integers(100, 140, (H // 2, W // 2)).astype(np.uint8)
+             + rng.integers(0, 12, (h, w))).astype(np.uint8)
+        cb = rng.integers(100, 140, (h // 2, w // 2)).astype(np.uint8)
+        cr = rng.integers(100, 140, (h // 2, w // 2)).astype(np.uint8)
         frames.append((y, cb, cr))
     return frames
 
 
-def run_metric(which: str) -> None:
-    import jax.numpy as jnp
+def _intra_e2e(w, h, n_frames):
+    """(fps, stream) of the pipelined all-intra sequence encode, parity-
+    and decode-gated."""
+    import jax
 
+    from h264_fer_tpu.codec.decoder import Decoder
     from h264_fer_tpu.codec.encoder import Encoder, EncoderConfig
     from h264_fer_tpu.codec.tpu_intra import TpuIntraPipeline
+    from h264_fer_tpu.parallel.gop_device import GopIntraEncoder
 
-    frames = _content(4)
+    frames = _content(n_frames, w, h)
+    # serial per-frame encoder: the byte-parity oracle (its streams are
+    # reference-decoder-verified); also warms the shared frame program
+    enc = Encoder(w, h, EncoderConfig(qp=QP, intra_every=1),
+                  tpu_pipeline=TpuIntraPipeline(w, h, qp=QP),
+                  tpu_iframe=True)
+    serial = enc.encode_sequence(frames)
+    genc = GopIntraEncoder(w, h, QP, devices=jax.devices()[:1])
+    stream = genc.encode_sequence(frames)  # warm the pipelined path
+    t0 = time.perf_counter()
+    stream = genc.encode_sequence(frames)
+    fps = len(frames) / (time.perf_counter() - t0)
+    assert stream == serial, "pipelined stream != serial stream"
+    # decodability gate: headers + the final IDR (self-contained) must
+    # decode to the serial encoder's reconstruction
+    hdr_end = len(genc.headers())
+    last = stream.rfind(b"\x00\x00\x00\x01")
+    got = list(Decoder().decode_annexb(stream[:hdr_end] + stream[last:]))
+    ry, rcb, rcr = enc.reconstructed()
+    assert np.array_equal(got[-1][0], ry), "decode mismatch"
+    assert np.array_equal(got[-1][1], rcb)
+    assert np.array_equal(got[-1][2], rcr)
+    return fps
+
+
+def run_metric(which: str) -> None:
+    from h264_fer_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax.numpy as jnp
 
     if which == "device":
         from h264_fer_tpu.codec.tpu_iframe import device_i16_frame
 
-        y, cb, cr = (jnp.asarray(p) for p in frames[0])
+        y, cb, cr = (jnp.asarray(p) for p in _content(1)[0])
         nw = (W // 16) * (H // 16) * 24  # encoder tier-0 payload capacity
         out = device_i16_frame(y, cb, cr, wmb=W // 16, hmb=H // 16,
                                qp=QP, qpc=26, nw=nw)
@@ -73,39 +112,30 @@ def run_metric(which: str) -> None:
             int(out["nbits"])  # true sync: scalar readback
         fps = n / (time.perf_counter() - t0)
         name = "device_iframe_encode_1080p_fps_per_chip"
-    else:
-        from h264_fer_tpu.parallel.gop_device import GopIntraEncoder
-
-        frames = _content(9)
-        # serial per-frame encoder: the byte-parity oracle (its streams
-        # are reference-decoder-verified); also warms the shared jitted
-        # frame program
-        enc = Encoder(W, H, EncoderConfig(qp=QP, intra_every=1),
-                      tpu_pipeline=TpuIntraPipeline(W, H, qp=QP),
-                      tpu_iframe=True)
-        serial = enc.encode_sequence(frames)
-        # pipelined sequence encode: dispatch every frame's device program
-        # before any readback so tunnel transfers overlap compute
+    elif which == "ippp":
         import jax
 
-        genc = GopIntraEncoder(W, H, QP, devices=jax.devices()[:1])
-        stream = genc.encode_sequence(frames)  # warm the pipelined path
+        from h264_fer_tpu.codec.decoder import Decoder
+        from h264_fer_tpu.parallel.gop_device import GopIpppEncoder
+
+        n_frames, gop_len = 8, 8
+        frames = _content(n_frames)
+        genc = GopIpppEncoder(W, H, QP, gop_len=gop_len,
+                              devices=jax.devices()[:1])
+        stream = genc.encode_sequence(frames)  # compile + warm
         t0 = time.perf_counter()
         stream = genc.encode_sequence(frames)
-        fps = len(frames) / (time.perf_counter() - t0)
-        assert stream == serial, "pipelined stream != serial stream"
-        # decodability gate: the last IDR (self-contained) must decode to
-        # the serial encoder's reconstruction
-        from h264_fer_tpu.bitstream.nal import iter_nal_units
-        from h264_fer_tpu.codec.decoder import Decoder
-
-        last = stream.rfind(b"\x00\x00\x00\x01")
-        hdr_end = len(genc.headers())
-        got = list(Decoder().decode_annexb(stream[:hdr_end] + stream[last:]))
-        ry, rcb, rcr = enc.reconstructed()
-        assert np.array_equal(got[-1][0], ry), "decode mismatch"
-        assert np.array_equal(got[-1][1], rcb)
-        assert np.array_equal(got[-1][2], rcr)
+        fps = n_frames / (time.perf_counter() - t0)
+        # decode gate: the full GOP must round-trip (P frames chain, so
+        # decoding the last frame exercises every frame)
+        outs = list(Decoder().decode_annexb(stream))
+        assert len(outs) == n_frames, "IPPP decode gate failed"
+        name = "e2e_ippp_encode_1080p_fps"
+    elif which == "qcif":
+        fps = _intra_e2e(176, 144, 16)
+        name = "e2e_iframe_encode_qcif_fps"
+    else:
+        fps = _intra_e2e(W, H, 9)
         name = "e2e_iframe_encode_1080p_fps"
 
     print(json.dumps({
@@ -117,26 +147,63 @@ def run_metric(which: str) -> None:
 
 
 def main() -> None:
-    for which, budget in (("e2e", 560), ("device", 480)):
+    # persistent-cache dir is shared with the subprocesses via env
+    os.environ.setdefault(
+        "H264_FER_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "h264_fer_tpu",
+                     "jax"))
+    deadline = time.monotonic() + 1500  # hard stop for the whole bench
+    results = {}
+    # two attempts per metric: a first attempt that dies compiling still
+    # persists its finished XLA modules, so the retry resumes warm
+    plan = [("e2e", 420, 2), ("ippp", 420, 2), ("device", 300, 1)]
+    for which, budget, attempts in plan:
+        for _ in range(attempts):
+            if time.monotonic() + 60 > deadline:
+                break
+            budget_now = min(budget, max(60, int(deadline - time.monotonic())))
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--metric",
+                     which],
+                    capture_output=True, timeout=budget_now, text=True,
+                )
+            except subprocess.TimeoutExpired:
+                continue
+            for line in r.stdout.splitlines():
+                if line.startswith("{"):
+                    results[which] = json.loads(line)
+                    break
+            if which in results:
+                break
+    if "e2e" not in results and time.monotonic() + 60 < deadline:
+        # QCIF fallback: tiny compiles — always produces a real number
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--metric",
-                 which],
-                capture_output=True, timeout=budget, text=True,
-            )
+                 "qcif"],
+                capture_output=True, timeout=300, text=True)
             for line in r.stdout.splitlines():
                 if line.startswith("{"):
-                    print(line)
-                    return
+                    results["qcif"] = json.loads(line)
+                    break
         except subprocess.TimeoutExpired:
-            continue
-    # nothing completed (device unavailable): report that fact in-format
-    print(json.dumps({
-        "metric": "e2e_iframe_encode_1080p_fps",
-        "value": 0.0,
-        "unit": "frames/s (device unavailable at bench time)",
-        "vs_baseline": 0.0,
-    }))
+            pass
+    headline = (results.get("e2e") or results.get("ippp")
+                or results.get("qcif") or results.get("device"))
+    if headline is None:
+        headline = {
+            "metric": "e2e_iframe_encode_1080p_fps",
+            "value": 0.0,
+            "unit": "frames/s (device unavailable at bench time)",
+            "vs_baseline": 0.0,
+        }
+    extra = {v["metric"]: v["value"] for k, v in results.items()
+             if v["metric"] != headline["metric"]}
+    if extra:
+        headline = dict(headline)
+        headline["extra"] = extra
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

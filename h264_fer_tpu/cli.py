@@ -18,12 +18,23 @@ import sys
 import time
 
 
-def _cmd_encode(args) -> int:
-    import numpy as np
+def _read_frames(args, rd):
+    for i, frame in enumerate(rd):
+        if args.start_frame and i + 1 < args.start_frame:
+            continue
+        yield frame
+        if args.end_frame and i + 1 >= args.end_frame:
+            break
 
+
+def _cmd_encode(args) -> int:
     from .codec.encoder import Encoder, EncoderConfig
+    from .utils import enable_compilation_cache
     from .vio.y4m import Y4MReader
 
+    if (args.tpu_modes or args.tpu_iframe or args.tpu_pframe or args.tpu_me
+            or args.gop_devices or args.tile_devices):
+        enable_compilation_cache()
     rd = Y4MReader(args.input)
     cfg = EncoderConfig(
         qp=args.qp,
@@ -34,8 +45,50 @@ def _cmd_encode(args) -> int:
         scene_cut_idr=not args.no_scene_cut,
         deblock=args.deblock,
     )
+
+    if args.gop_devices or args.tile_devices:
+        # multi-device sequence encoders (parallel/): frames are read up
+        # front; streams are byte-identical to the serial device paths
+        import jax
+
+        frames = list(_read_frames(args, rd))
+        t0 = time.time()
+        if args.tile_devices:
+            from .parallel.tile import TileIntraEncoder
+
+            enc = TileIntraEncoder(rd.width, rd.height, args.qp,
+                                   devices=jax.devices()[: args.tile_devices])
+            stream = enc.encode_sequence(frames)
+        elif args.intra_every == 1:
+            from .parallel.gop_device import GopIntraEncoder
+
+            enc = GopIntraEncoder(
+                rd.width, rd.height, args.qp,
+                mode="mixed" if args.tpu_iframe == "mixed" else "i16",
+                devices=jax.devices()[: args.gop_devices])
+            stream = enc.encode_sequence(frames)
+        else:
+            from .parallel.gop_device import GopIpppEncoder
+
+            enc = GopIpppEncoder(
+                rd.width, rd.height, args.qp, gop_len=args.intra_every,
+                window_size=args.window_size, maxdiff=args.maxdiff,
+                lossy_prefilter=not args.no_prefilter,
+                devices=jax.devices()[: args.gop_devices])
+            stream = enc.encode_sequence(frames)
+        dt = time.time() - t0
+        with open(args.output, "wb") as f:
+            f.write(stream)
+        n, total = len(frames), len(stream)
+        print(
+            f"{n} frames {rd.width}x{rd.height} -> {total} bytes "
+            f"in {dt:.1f}s ({n / max(dt, 1e-9):.2f} fps) "
+            f"[{type(enc).__name__}]"
+        )
+        return 0
+
     tpu_pipeline = tpu_me = None
-    if args.tpu_modes or args.tpu_iframe:
+    if args.tpu_modes or args.tpu_iframe or args.tpu_pframe:
         from .codec.tpu_intra import TpuIntraPipeline
 
         tpu_pipeline = TpuIntraPipeline(rd.width, rd.height, args.qp)
@@ -43,19 +96,18 @@ def _cmd_encode(args) -> int:
         from .ops.me import TpuMePipeline
 
         tpu_me = TpuMePipeline(window=args.window_size // 2)
+    tpu_iframe = ({"off": False, "i16": True, "mixed": "mixed"}
+                  [args.tpu_iframe or "off"])
     enc = Encoder(rd.width, rd.height, cfg, tpu_pipeline=tpu_pipeline,
-                  tpu_me=tpu_me, tpu_iframe=args.tpu_iframe)
+                  tpu_me=tpu_me, tpu_iframe=tpu_iframe,
+                  tpu_pframe=args.tpu_pframe)
     t0 = time.time()
     n = 0
     with open(args.output, "wb") as f:
         f.write(enc.headers())
-        for i, frame in enumerate(rd):
-            if args.start_frame and i + 1 < args.start_frame:
-                continue
+        for frame in _read_frames(args, rd):
             f.write(enc.encode_frame(*frame))
             n += 1
-            if args.end_frame and i + 1 >= args.end_frame:
-                break
     dt = time.time() - t0
     total = sum(s["bytes"] for s in enc.stats)
     print(
@@ -130,8 +182,20 @@ def main(argv=None) -> int:
                    help="intra mode pre-decision on TPU")
     e.add_argument("--tpu-me", action="store_true",
                    help="motion search on TPU")
-    e.add_argument("--tpu-iframe", action="store_true",
-                   help="all-device I-frames (modes + wavefront recon on TPU)")
+    e.add_argument("--tpu-iframe", nargs="?", const="i16",
+                   choices=["off", "i16", "mixed"], default=None,
+                   help="all-device I-frames: i16 (fast, Intra_16x16-only)"
+                        " or mixed (exact I4x4-vs-I16 arbitration)")
+    e.add_argument("--tpu-pframe", action="store_true",
+                   help="all-device P-frames (ME maps + decision wavefront"
+                        " + MC/recon + slice entropy in one program)")
+    e.add_argument("--gop-devices", type=int, default=0, metavar="N",
+                   help="shard the sequence over N devices on the gop mesh"
+                        " axis (all-intra or fixed-GOP IPPP; implies the"
+                        " device encode paths and scene-cut off)")
+    e.add_argument("--tile-devices", type=int, default=0, metavar="N",
+                   help="shard each frame's MB-row bands over N devices on"
+                        " the tile mesh axis (all-intra)")
     e.add_argument("--stats", action="store_true")
     e.set_defaults(fn=_cmd_encode)
 

@@ -29,6 +29,13 @@ import pytest
 FIXTURES = pathlib.Path(__file__).parent / "fixtures"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: full conformance sweeps (run with -m slow; excluded by "
+        "-m 'not slow')")
+
+
 @pytest.fixture(scope="session")
 def fixtures_dir() -> pathlib.Path:
     return FIXTURES

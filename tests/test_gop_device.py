@@ -75,6 +75,41 @@ def test_gop_ippp_sharded_equals_serial(clip, n_dev, n_frames):
     assert genc.encode_sequence(frames) == serial
 
 
+def test_gop_ippp_tier_escalation_parity():
+    """Content that overflows payload tier 0 on one frame: the serial
+    encoder escalates that frame alone, the whole-GOP program re-encodes
+    the entire GOP at the higher tier — the streams must still be
+    byte-identical (pack_symbols emits the same bits at any adequate
+    capacity tier)."""
+    import jax
+
+    from h264_fer_tpu.codec.tpu_intra import TpuIntraPipeline
+    from h264_fer_tpu.parallel.gop_device import GopIpppEncoder
+
+    W, H, qp = 64, 48, 8
+    rng = np.random.default_rng(5)
+
+    def flat(i):
+        return (np.full((H, W), 60 + 8 * i, np.uint8),
+                np.full((H // 2, W // 2), 120, np.uint8),
+                np.full((H // 2, W // 2), 120, np.uint8))
+
+    noisy = (rng.integers(0, 256, (H, W)).astype(np.uint8),
+             rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8),
+             rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8))
+    frames = [flat(0), flat(1), noisy]
+    pipe = TpuIntraPipeline(W, H, qp)
+    enc = Encoder(W, H, EncoderConfig(qp=qp, intra_every=3,
+                                      scene_cut_idr=False),
+                  tpu_pipeline=pipe, tpu_iframe=True, tpu_pframe=True)
+    serial = enc.encode_sequence(frames)
+    nmb = (W // 16) * (H // 16)
+    assert enc.stats[2]["bytes"] * 8 > 32 * nmb * 24, \
+        "test content must overflow tier 0 on the noisy frame"
+    genc = GopIpppEncoder(W, H, qp, gop_len=3, devices=jax.devices()[:1])
+    assert genc.encode_sequence(frames) == serial
+
+
 def test_gop_ippp_stream_decodes(clip):
     """The GOP-device IPPP stream round-trips through the decoder."""
     from h264_fer_tpu.codec.decoder import Decoder
