@@ -37,6 +37,15 @@ def write_se(w: BitWriter, v: int) -> None:
 
 
 def read_ue(r: BitReader) -> int:
+    # one 24-bit peek covers codes up to 23 bits (ue < 4095), the common
+    # case by far (reference expGolomb_UD's 24-bit fast path,
+    # expgolomb.cpp:122-140); longer codes fall back to bit stepping
+    v = r.peek(24)
+    if v:
+        zeros = 24 - v.bit_length()
+        if zeros <= 11:  # whole code (2*zeros+1 <= 23 bits) inside the peek
+            r.skip(2 * zeros + 1)
+            return (v >> (23 - 2 * zeros)) - 1
     zeros = 0
     while r.read_bit() == 0:
         zeros += 1

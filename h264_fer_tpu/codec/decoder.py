@@ -478,17 +478,22 @@ class Decoder:
     def _reconstruct_inter(self, curr, pred_l, pred_cb, pred_cr, luma_levels,
                            chroma_dc, chroma_ac, cbp_luma) -> None:
         """Inter luma: per-4x4 inverse residual + clip (8.5.1);
-        chroma per 8.5.4."""
+        chroma per 8.5.4. All-zero levels (P_Skip and residual-less MBs,
+        the common case) short-circuit to clip(pred) —
+        transformDecodingP_Skip semantics, identical output."""
         x0, y0 = self._mb_origin(curr)
         qpy = self.qpy
-        blocks = transform.zigzag_unscan(luma_levels)  # (16, 4, 4)
-        res = transform.inverse_residual(blocks, qpy, False)
-        recon = np.zeros((16, 16), np.int32)
-        for blk in range(16):
-            bx = int(_BLK_XY[blk, 0])
-            by = int(_BLK_XY[blk, 1])
-            recon[by : by + 4, bx : bx + 4] = res[blk]
-        out = np.clip(pred_l + recon, 0, 255)
+        if cbp_luma == 0 or not luma_levels.any():
+            out = np.clip(pred_l, 0, 255)
+        else:
+            blocks = transform.zigzag_unscan(luma_levels)  # (16, 4, 4)
+            res = transform.inverse_residual(blocks, qpy, False)
+            recon = np.zeros((16, 16), np.int32)
+            for blk in range(16):
+                bx = int(_BLK_XY[blk, 0])
+                by = int(_BLK_XY[blk, 1])
+                recon[by : by + 4, bx : bx + 4] = res[blk]
+            out = np.clip(pred_l + recon, 0, 255)
         self.y[y0 : y0 + 16, x0 : x0 + 16] = out
         self._reconstruct_chroma(curr, pred_cb, pred_cr, chroma_dc, chroma_ac)
 
@@ -496,6 +501,11 @@ class Decoder:
                             chroma_ac) -> None:
         """transformDecodingChroma (inttransform.cpp:237-321) per channel."""
         x0, y0 = self._mb_origin(curr)
+        ys, xs = slice(y0 // 2, y0 // 2 + 8), slice(x0 // 2, x0 // 2 + 8)
+        if not (chroma_dc.any() or chroma_ac.any()):
+            self.cb[ys, xs] = np.clip(pred_cb, 0, 255)
+            self.cr[ys, xs] = np.clip(pred_cr, 0, 255)
+            return
         qpc = transform.chroma_qp(self.qpy, self.pps.chroma_qp_index_offset)
         # batched over both channels x 4 blocks (8 inverse transforms at once)
         dcv = transform.inverse_dc_chroma(chroma_dc.reshape(2, 2, 2), qpc)
@@ -513,7 +523,7 @@ class Decoder:
                 bx, by = (blk % 2) * 4, (blk // 2) * 4
                 rmb[by : by + 4, bx : bx + 4] = res[c, blk]
             out = np.clip(pred + rmb, 0, 255)
-            plane[y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8] = out
+            plane[ys, xs] = out
 
     def _reconstruct_intra(self, curr, cls, prev_mode_flag, rem_mode,
                            chroma_mode, i16dc, luma_levels, chroma_dc,
@@ -521,36 +531,40 @@ class Decoder:
         x0, y0 = self._mb_origin(curr)
         qpy = self.qpy
         if cls.is_i4x4:
-            # interleaved predict+reconstruct per block (intra.cpp:770-797)
+            # residuals are neighbor-independent: one batched inverse
+            # transform for all 16 blocks; only predict+add interleaves
+            # per block (intra.cpp:770-797)
+            res16 = transform.inverse_residual(
+                transform.zigzag_unscan(luma_levels), qpy, False)
             for blk in range(16):
                 mode = self._derive_i4x4_mode(curr, blk, prev_mode_flag[blk],
                                               rem_mode[blk])
                 self.i4x4_mode[curr, blk] = mode
                 p = self._fetch_p13(curr, blk)
                 pred = intra.predict_4x4(p, mode)
-                lst = luma_levels[blk]
-                blk4 = transform.zigzag_unscan(lst)
-                res = transform.inverse_residual(blk4, qpy, False)
                 bx = int(_BLK_XY[blk, 0])
                 by = int(_BLK_XY[blk, 1])
-                out = np.clip(pred + res, 0, 255)
+                out = np.clip(pred + res16[blk], 0, 255)
                 self.y[y0 + by : y0 + by + 4, x0 + bx : x0 + bx + 4] = out
         else:
             p33 = self._fetch_p33(curr)
             pred = intra.predict_16x16(p33, cls.i16_mode)
-            # DC Hadamard + AC per 8.5.2 (inttransform.cpp:157-208)
+            # DC Hadamard + AC per 8.5.2 (inttransform.cpp:157-208),
+            # batched over the 16 blocks
             dcblk = transform.zigzag_unscan(i16dc)
             dcv = transform.inverse_dc_luma(dcblk, qpy)
+            bxs = _BLK_XY[:, 0] >> 2
+            bys = _BLK_XY[:, 1] >> 2
+            lists = np.empty((16, 16), np.int32)
+            lists[:, 0] = dcv[bys, bxs]
+            lists[:, 1:] = luma_levels[:, :15]
+            res16 = transform.inverse_residual(
+                transform.zigzag_unscan(lists), qpy, True)
             recon = np.zeros((16, 16), np.int32)
             for blk in range(16):
                 bx = int(_BLK_XY[blk, 0])
                 by = int(_BLK_XY[blk, 1])
-                lst = np.zeros(16, np.int32)
-                lst[0] = dcv[by >> 2, bx >> 2]
-                lst[1:] = luma_levels[blk, :15]
-                blk4 = transform.zigzag_unscan(lst)
-                res = transform.inverse_residual(blk4, qpy, True)
-                recon[by : by + 4, bx : bx + 4] = res
+                recon[by : by + 4, bx : bx + 4] = res16[blk]
             out = np.clip(pred + recon, 0, 255)
             self.y[y0 : y0 + 16, x0 : x0 + 16] = out
 

@@ -149,7 +149,12 @@ class Encoder:
             # across GOP boundaries (it otherwise could, via the
             # trailing-skip drop restore in the first P frame), so
             # GOP-parallel encode stays byte-identical to serial.
+            # prev_mv must reset HERE (not only at the bottom of the
+            # non-device path): the fully-device IDR branch returns early,
+            # and a stale prev_mv would leak the previous GOP's MVs into
+            # the next P frame's temporal qpel centers.
             self.mv[:] = 0
+            self.prev_mv[:] = 0
         if is_idr and self.tpu_iframe and self.tpu_pipeline is not None \
                 and self.tpu_entropy:
             # fully-device I-frame: no host working-frame conversion, no
@@ -255,10 +260,9 @@ class Encoder:
         self.tc_luma[:] = np.asarray(out["tc_luma"])
         self.tc_chroma[:] = np.asarray(out["tc_chroma"])
         self.nz_luma[:] = np.asarray(out["nz_luma"])
-        if self.cfg.deblock:
-            from .loopfilter import deblock_frame
-
-            deblock_frame(self)
+        # NOTE: no host deblock here — the device frame programs apply
+        # the in-loop filter on device (tpu_iframe._deblock_intra) when
+        # cfg.deblock is set, so the recon planes arrive already filtered.
         self.ref_y = self.y.copy()
         self.ref_cb = self.cb.copy()
         self.ref_cr = self.cr.copy()
@@ -924,7 +928,7 @@ class Encoder:
             out = device_frame(
                 jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
                 wmb=self.wmb, hmb=self.hmb, qp=self.qpy, qpc=self.qpc,
-                nw=nw, cap=cap)
+                nw=nw, cap=cap, deblock=self.cfg.deblock)
             nbits, pok = (int(v) for v in np.asarray(out["meta"]))
             if (nw is None or nbits <= 32 * nw) and pok:
                 break

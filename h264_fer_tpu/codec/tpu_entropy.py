@@ -390,7 +390,8 @@ p_slice_entropy = functools.partial(
 
 def i16_slice_entropy_impl(mode16, cmode, i16dc, i16ac, cdc, cac,
                            wmb: int, hmb: int, nw: int | None = None,
-                           cap: int | None = None, top_ctx=None):
+                           cap: int | None = None, top_ctx=None,
+                           valid=None):
     """Whole-slice macroblock_layer bits for an all-I16 frame, on device.
 
     Returns dict: words (uint32 payload, bit 0 = first payload bit),
@@ -401,6 +402,12 @@ def i16_slice_entropy_impl(mode16, cmode, i16dc, i16ac, cdc, cac,
     top_ctx: optional cross-tile nC context for MB-row-band sharding
     (parallel/tile.py): (top_tc_luma (wmb, 16), top_cbp_luma (wmb,),
     top_tc_chroma (2, wmb, 4), top_cbp_chroma (wmb,), top_valid bool).
+
+    valid: optional (nmb,) bool — MBs with valid=False emit ZERO bits
+    (uneven-band tile sharding pads the last band with rows below the
+    real frame; padded MBs sit after every real MB in raster order, so
+    gating their symbol lengths to 0 truncates the payload exactly at
+    the last real MB).
     """
     nmb = wmb * hmb
 
@@ -477,6 +484,8 @@ def i16_slice_entropy_impl(mode16, cmode, i16dc, i16ac, cdc, cac,
         jnp.moveaxis(cdc_lens, 1, 0).reshape(nmb, -1),
         jnp.moveaxis(cac_lens, 1, 0).reshape(nmb, -1),
     ], axis=-1)
+    if valid is not None:
+        lens = jnp.where(valid[:, None], lens, 0)
 
     words, nbits, pack_ok = pack_symbols(
         vals.reshape(-1), lens.reshape(-1), nw=nw, cap=cap)

@@ -19,6 +19,7 @@ makes calling the jitted entries from inside another jit unsafe.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,12 +30,43 @@ from .tpu_entropy import i16_slice_entropy_impl
 from .tpu_intra import intra_mode_decision_impl
 
 
+def _use_pallas() -> bool:
+    """Production wavefront selection: the Pallas grid-sequential kernel
+    on real TPU (the XLA fori_loop wavefront pays per-diagonal dispatch +
+    HBM round trips — measured ~21x slower at 1080p,
+    kernels/wavefront_pallas.py); the XLA wavefront on CPU where Pallas
+    would run in interpret mode (tests, virtual multi-chip dryruns).
+    H264_FER_TPU_NO_PALLAS=1 forces the XLA path everywhere."""
+    if os.environ.get("H264_FER_TPU_NO_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _deblock_intra(recon_y, recon_cb, recon_cr, nz_luma,
+                   wmb: int, hmb: int, qp: int, qpc: int):
+    """In-loop filter for an all-intra device frame (every edge bS 4/3;
+    intra prediction already read the unfiltered samples per 8.3, so the
+    filter applies once after the whole frame reconstructs)."""
+    from ..kernels.deblock_tpu import deblock_frame_device_impl
+
+    nmb = wmb * hmb
+    return deblock_frame_device_impl(
+        recon_y, recon_cb, recon_cr,
+        jnp.ones((nmb,), bool), nz_luma,
+        jnp.zeros((nmb, 4, 4, 2), jnp.int32),
+        wmb=wmb, hmb=hmb, qp=qp, qpc=qpc)
+
+
 def device_i16_frame_impl(y, cb, cr, wmb: int, hmb: int, qp: int, qpc: int,
-                          nw: int | None = None, cap: int | None = None):
+                          nw: int | None = None, cap: int | None = None,
+                          deblock: bool = False):
     """y/cb/cr: uint8 or int32 source planes (device). Returns dict with
     recon planes, entropy payload words/nbits, and per-MB syntax state.
     nw: static payload capacity in words (None = worst case); when
-    nbits > 32*nw the payload is truncated — callers retry larger."""
+    nbits > 32*nw the payload is truncated — callers retry larger.
+    deblock: apply the in-loop filter to the returned recon planes on
+    device (the bitstream itself is unaffected — the filter is
+    post-reconstruction; callers must signal it in PPS/slice headers)."""
     y = y.astype(jnp.int32)
     cb = cb.astype(jnp.int32)
     cr = cr.astype(jnp.int32)
@@ -42,12 +74,22 @@ def device_i16_frame_impl(y, cb, cr, wmb: int, hmb: int, qp: int, qpc: int,
         y, wmb=wmb, hmb=hmb, qp=qp, modes_only=True, i16_only=True)
     m16 = out["mode16"]
     cmode = jnp.asarray(INTRA16_TO_CHROMA_MODE)[m16]
-    (recon_y, i16dc, i16ac, recon_cb, recon_cr, cdc, cac) = \
-        wavefront_i16_frame_impl(y, cb, cr, m16, cmode,
-                                 wmb=wmb, hmb=hmb, qp=qp, qpc=qpc)
+    if _use_pallas():
+        from ..kernels.wavefront_pallas import pallas_i16_frame_fast_impl
+
+        (recon_y, i16dc, i16ac, recon_cb, recon_cr, cdc, cac) = \
+            pallas_i16_frame_fast_impl(y, cb, cr, m16, cmode,
+                                       wmb=wmb, hmb=hmb, qp=qp, qpc=qpc)
+    else:
+        (recon_y, i16dc, i16ac, recon_cb, recon_cr, cdc, cac) = \
+            wavefront_i16_frame_impl(y, cb, cr, m16, cmode,
+                                     wmb=wmb, hmb=hmb, qp=qp, qpc=qpc)
     ent = i16_slice_entropy_impl(m16, cmode, i16dc, i16ac, cdc, cac,
                                  wmb=wmb, hmb=hmb, nw=nw, cap=cap)
     nz_luma = i16ac.any(axis=2) | i16dc.any(axis=1)[:, None]
+    if deblock:
+        recon_y, recon_cb, recon_cr = _deblock_intra(
+            recon_y, recon_cb, recon_cr, nz_luma, wmb, hmb, qp, qpc)
     return {
         "recon_y": recon_y,
         "recon_cb": recon_cb,
@@ -58,13 +100,15 @@ def device_i16_frame_impl(y, cb, cr, wmb: int, hmb: int, qp: int, qpc: int,
 
 
 device_i16_frame = functools.partial(
-    jax.jit, static_argnames=("wmb", "hmb", "qp", "qpc", "nw", "cap"))(
+    jax.jit,
+    static_argnames=("wmb", "hmb", "qp", "qpc", "nw", "cap", "deblock"))(
         device_i16_frame_impl)
 
 
 def device_mixed_frame_impl(y, cb, cr, wmb: int, hmb: int, qp: int,
                             qpc: int, nw: int | None = None,
-                            cap: int | None = None):
+                            cap: int | None = None,
+                            deblock: bool = False):
     """Mixed-mode device I-frame: exact Intra_4x4-vs-Intra_16x16
     arbitration by coded bit size (kernels/wavefront_mixed.py), chroma
     wavefront, and the whole slice's bits packed on device. Byte-identical
@@ -92,8 +136,12 @@ def device_mixed_frame_impl(y, cb, cr, wmb: int, hmb: int, qp: int,
         mx["choice4"], m16, cmode, mx["i16dc"], mx["i16ac"], mx["lv4"],
         mx["prev_flags"], mx["rem_modes"], mx["cbp_luma"], mx["tc_luma"],
         cdc, cac, wmb=wmb, hmb=hmb, nw=nw, cap=cap)
+    recon_y = mx["recon_y"]
+    if deblock:
+        recon_y, recon_cb, recon_cr = _deblock_intra(
+            recon_y, recon_cb, recon_cr, ent["nz_luma"], wmb, hmb, qp, qpc)
     return {
-        "recon_y": mx["recon_y"],
+        "recon_y": recon_y,
         "recon_cb": recon_cb,
         "recon_cr": recon_cr,
         "choice4": mx["choice4"],
@@ -103,7 +151,8 @@ def device_mixed_frame_impl(y, cb, cr, wmb: int, hmb: int, qp: int,
 
 
 device_mixed_frame = functools.partial(
-    jax.jit, static_argnames=("wmb", "hmb", "qp", "qpc", "nw", "cap"))(
+    jax.jit,
+    static_argnames=("wmb", "hmb", "qp", "qpc", "nw", "cap", "deblock"))(
         device_mixed_frame_impl)
 
 

@@ -201,9 +201,8 @@ def _edge_h(patch, y: int, bs4, alpha, beta, idx_a, chroma, lines: int):
     return patch
 
 
-@functools.partial(jax.jit, static_argnames=("wmb", "hmb", "qp", "qpc"))
-def deblock_frame_device(y, cb, cr, mb_intra, nz_luma, mv,
-                         wmb: int, hmb: int, qp: int, qpc: int):
+def deblock_frame_device_impl(y, cb, cr, mb_intra, nz_luma, mv,
+                              wmb: int, hmb: int, qp: int, qpc: int):
     """Filter the three planes, bit-identical to loopfilter.deblock_frame.
 
     y: (H, W) int32; cb/cr: (H/2, W/2); mb_intra (nmb,) bool;
@@ -292,3 +291,10 @@ def deblock_frame_device(y, cb, cr, mb_intra, nz_luma, mv,
     return (yp[4 : 4 + H, 4 : 4 + W],
             cbp[4 : 4 + H // 2, 4 : 4 + W // 2],
             crp[4 : 4 + H // 2, 4 : 4 + W // 2])
+
+
+# jitted top-level entry; device programs embedding this call the _impl
+# (see codec/tpu_intra.py on the jax-0.9 nested-jit const-lifting bug)
+deblock_frame_device = functools.partial(
+    jax.jit, static_argnames=("wmb", "hmb", "qp", "qpc"))(
+        deblock_frame_device_impl)

@@ -1086,12 +1086,9 @@ def _i16_recon_kernel_body(wmb, hmb, qp, qpc,
     clcol_s[...] = crecon[:, :, 7]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("wmb", "hmb", "qp", "qpc", "frame_hmb"))
-def i16_levels_from_recon(y_src, cb_src, cr_src, yrec, cbrec, crrec,
-                          modes, cmodes, wmb: int, hmb: int, qp: int, qpc: int,
-                          frame_hmb: int | None = None):
+def i16_levels_from_recon_impl(y_src, cb_src, cr_src, yrec, cbrec, crrec,
+                               modes, cmodes, wmb: int, hmb: int, qp: int,
+                               qpc: int, frame_hmb: int | None = None):
     """Coefficient lists of an all-I16 frame, given its reconstruction.
 
     Batched XLA over all MBs: p33/p17 neighbor fetch from the RECON planes
@@ -1170,9 +1167,8 @@ def i16_levels_from_recon(y_src, cb_src, cr_src, yrec, cbrec, crrec,
     return i16dc, ac, jnp.stack(cdc_out), jnp.stack(cac_out)
 
 
-@functools.partial(jax.jit, static_argnames=("wmb", "hmb", "qp", "qpc"))
-def pallas_i16_frame_fast(y_src, cb_src, cr_src, modes, cmodes,
-                          wmb: int, hmb: int, qp: int, qpc: int):
+def pallas_i16_frame_fast_impl(y_src, cb_src, cr_src, modes, cmodes,
+                               wmb: int, hmb: int, qp: int, qpc: int):
     """Recon-only Pallas wavefront + bulk XLA levels. Same return tuple as
     wavefront_i16_frame, bit-identical, with ~5x less Pallas DMA traffic."""
     nmb = wmb * hmb
@@ -1235,8 +1231,19 @@ def pallas_i16_frame_fast(y_src, cb_src, cr_src, modes, cmodes,
     frame = unskew_frame(yrec_sk, 16)
     cbf = unskew_frame(cbrec_sk, 8)
     crf = unskew_frame(crrec_sk, 8)
-    i16dc, ac, cdc, cac = i16_levels_from_recon(
+    i16dc, ac, cdc, cac = i16_levels_from_recon_impl(
         y_src, cb_src, cr_src, frame, cbf, crf, modes, cmodes,
         wmb=wmb, hmb=hmb, qp=qp, qpc=qpc,
     )
     return frame, i16dc, ac, cbf, crf, cdc, cac
+
+
+# jitted top-level entries; device programs embedding these call the
+# _impls (see codec/tpu_intra.py on the jax-0.9 nested-jit issues)
+i16_levels_from_recon = functools.partial(
+    jax.jit,
+    static_argnames=("wmb", "hmb", "qp", "qpc", "frame_hmb"))(
+        i16_levels_from_recon_impl)
+pallas_i16_frame_fast = functools.partial(
+    jax.jit, static_argnames=("wmb", "hmb", "qp", "qpc"))(
+        pallas_i16_frame_fast_impl)

@@ -101,6 +101,45 @@ def _decode_vlc(r: BitReader, table, maxlen: int):
     raise ValueError("invalid VLC codeword")
 
 
+# Dense direct-indexed decode tables: one maxlen-bit peek indexes a flat
+# list (the vectorized analog of the reference's 24-bit peek + binary
+# search, residual_tables.cpp:1012-1030 — a dense LUT beats the search on
+# a dynamic-language host). Entry = (payload, code_length); unused slots
+# keep length 0 and raise on hit.
+
+_dense_tables: dict = {}
+
+
+def _get_dense_table(kind: str, idx: int):
+    key = (kind, idx)
+    t = _dense_tables.get(key)
+    if t is None:
+        table, maxlen = _get_decode_table(kind, idx)
+        size = 1 << maxlen
+        vals = [None] * size
+        lens = [0] * size
+        # longer codes overwrite shorter ones' slots never: VLC prefixes
+        # are unique, so each slot belongs to exactly one codeword
+        for (n, code), payload in table.items():
+            base = code << (maxlen - n)
+            for s in range(base, base + (1 << (maxlen - n))):
+                vals[s] = payload
+                lens[s] = n
+        t = (vals, lens, maxlen)
+        _dense_tables[key] = t
+    return t
+
+
+def _decode_vlc_dense(r: BitReader, kind: str, idx: int):
+    vals, lens, maxlen = _get_dense_table(kind, idx)
+    v = r.peek(maxlen)
+    n = lens[v]
+    if n == 0:
+        raise ValueError("invalid VLC codeword")
+    r.skip(n)
+    return vals[v]
+
+
 # ---------------------------------------------------------------------------
 # Level prefix/suffix coding (norm 9.2.2.1).
 
@@ -126,10 +165,18 @@ def encode_level_code(level_code: int, suffix_len: int):
 
 def decode_level_code(r: BitReader, suffix_len: int) -> int:
     """Read level_prefix + level_suffix, return levelCode
-    (reference residual.cpp:1264-1300)."""
-    prefix = 0
-    while r.read_bit() == 0:
-        prefix += 1
+    (reference residual.cpp:1264-1300). The prefix's leading zeros come
+    from one 24-bit peek (expGolomb_UD-style) with a bit-loop fallback
+    for out-of-norm prefixes."""
+    v = r.peek(24)
+    if v:
+        prefix = 24 - v.bit_length()
+        r.skip(prefix + 1)
+    else:
+        r.skip(24)
+        prefix = 24
+        while r.read_bit() == 0:
+            prefix += 1
     if prefix == 14 and suffix_len == 0:
         size = 4
     elif prefix >= 15:
@@ -163,8 +210,7 @@ def decode_residual_block(r: BitReader, nc: int, start_idx: int, end_idx: int,
     Returns (coeff_level list of max_num_coeff ints, total_coeff).
     """
     coeff = [0] * max_num_coeff
-    ct_table, ct_max = _get_decode_table("ct", nc_context(nc))
-    total_coeff, trailing_ones = _decode_vlc(r, ct_table, ct_max)
+    total_coeff, trailing_ones = _decode_vlc_dense(r, "ct", nc_context(nc))
     if total_coeff == 0:
         return coeff, 0
 
@@ -187,11 +233,8 @@ def decode_residual_block(r: BitReader, nc: int, start_idx: int, end_idx: int,
                 suffix_len += 1
 
     if total_coeff < end_idx - start_idx + 1:
-        if nc != -1:
-            tz_table, tz_max = _get_decode_table("tz", total_coeff - 1)
-        else:
-            tz_table, tz_max = _get_decode_table("tzc", total_coeff - 1)
-        zeros_left = _decode_vlc(r, tz_table, tz_max)
+        zeros_left = _decode_vlc_dense(
+            r, "tz" if nc != -1 else "tzc", total_coeff - 1)
     else:
         zeros_left = 0
 
@@ -204,8 +247,7 @@ def decode_residual_block(r: BitReader, nc: int, start_idx: int, end_idx: int,
                     while r.read_bit() == 0:
                         rb += 1
             else:
-                rb_table, rb_max = _get_decode_table("rb", zeros_left - 1)
-                rb = _decode_vlc(r, rb_table, rb_max)
+                rb = _decode_vlc_dense(r, "rb", zeros_left - 1)
             run[j] = rb
         zeros_left -= run[j]
     run[total_coeff - 1] = zeros_left

@@ -152,6 +152,10 @@ def mc_macroblock_from_planes(planes, cb_pad, cr_pad, mb_x, mb_y, mv,
         cy = (y0 + oy) // 2 + (mvy >> 3) + ext_c + 1
         fx, fy = mvx & 7, mvy & 7
         for cplane, out in ((cb_pad, pred_cb), (cr_pad, pred_cr)):
+            if fx == 0 and fy == 0:  # integer chroma MV: plain copy
+                out[oy // 2 : oy // 2 + 4, ox // 2 : ox // 2 + 4] = \
+                    cplane[cy : cy + 4, cx : cx + 4]
+                continue
             a = cplane[cy : cy + 4, cx : cx + 4]
             b = cplane[cy : cy + 4, cx + 1 : cx + 5]
             c = cplane[cy + 1 : cy + 5, cx : cx + 4]

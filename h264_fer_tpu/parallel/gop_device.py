@@ -45,7 +45,8 @@ class GopIntraEncoder:
     """
 
     def __init__(self, width: int, height: int, qp: int,
-                 mode: str = "i16", devices=None) -> None:
+                 mode: str = "i16", devices=None,
+                 deblock: bool = False) -> None:
         assert width % 16 == 0 and height % 16 == 0
         from ..codec.tpu_iframe import (
             device_i16_frame,
@@ -60,7 +61,10 @@ class GopIntraEncoder:
         self.qpc = transform.chroma_qp(qp, 0)
         self.sps = SPS(pic_width_in_mbs=self.wmb,
                        pic_height_in_map_units=self.hmb)
-        self.pps = PPS(pic_init_qp=14 + qp)
+        self.deblock = bool(deblock)
+        self.pps = PPS(pic_init_qp=14 + qp,
+                       deblocking_filter_control_present_flag=1 if deblock
+                       else 0)
         self.devices = list(devices) if devices is not None else jax.devices()
         self.mesh = Mesh(np.asarray(self.devices), ("gop",))
         # jitted entry for direct single-device dispatch; unjitted impl
@@ -76,7 +80,8 @@ class GopIntraEncoder:
         if key not in self._cache:
             core = functools.partial(
                 self._frame_impl, wmb=self.wmb, hmb=self.hmb,
-                qp=self.qp, qpc=self.qpc, nw=nw, cap=cap)
+                qp=self.qp, qpc=self.qpc, nw=nw, cap=cap,
+                deblock=self.deblock)
             sh = NamedSharding(self.mesh, P("gop"))
 
             def run(y, cb, cr):
@@ -115,7 +120,7 @@ class GopIntraEncoder:
                 out = self._frame_fn(
                     jnp.asarray(f[0]), jnp.asarray(f[1]), jnp.asarray(f[2]),
                     wmb=self.wmb, hmb=self.hmb, qp=self.qp,
-                    qpc=self.qpc, nw=nw, cap=cap)
+                    qpc=self.qpc, nw=nw, cap=cap, deblock=self.deblock)
                 # retain only the payload outputs: holding the full dict
                 # would pin every frame's recon planes in device memory
                 # until the readback loop reaches it (O(frames) HBM)
@@ -176,7 +181,7 @@ class GopIntraEncoder:
             idr_pic_id=idr_pic_id,
             pic_order_cnt_lsb=0,
             slice_qp_delta=-14,
-            disable_deblocking_filter_idc=1,
+            disable_deblocking_filter_idc=0 if self.deblock else 1,
         )
         w = BitWriter()
         shd.write(w, self.sps, self.pps, nal_mod.NAL_IDR, 1)

@@ -266,13 +266,19 @@ def _band_state_last_row(i16dc, i16ac, cdc, cac, wmb: int, hloc: int):
 
 
 def _make_band(wmb: int, hmb: int, hloc: int, n_tile: int, qp: int,
-               qpc: int, nw, cap, vary_axes: tuple = ()):
+               qpc: int, nw, cap, vary_axes: tuple = (),
+               hmb_real: int | None = None):
     """Per-band device I-frame encode step (one MB-row band of one frame):
     source-halo ppermute → mode decision → global banded wavefront →
     cross-band nC-context ppermute → per-band slice entropy. Collectives
     ride the ``tile`` mesh axis; shared by the 1-D tile and 2-D
-    (gop, tile) programs."""
+    (gop, tile) programs.
+
+    hmb_real: the frame's true MB rows when hmb is the padded row count
+    of an uneven split (hmb = n_tile * hloc >= hmb_real); padded MBs are
+    reconstructed (their outputs discarded) but emit zero payload bits."""
     perm = [(i, i + 1) for i in range(n_tile - 1)]
+    uneven = hmb_real is not None and hmb_real != hmb
 
     def band(y, cb, cr):
         # local shapes: y (hloc*16, W), cb/cr (hloc*8, W/2)
@@ -296,10 +302,15 @@ def _make_band(wmb: int, hmb: int, hloc: int, n_tile: int, qp: int,
         state = _band_state_last_row(i16dc, i16ac, cdc, cac, wmb, hloc)
         t_tc_l, t_cbp_l, t_tc_c, t_cbp_c = jax.lax.ppermute(
             state, "tile", perm)
+        valid = None
+        if uneven:
+            grow = t * hloc + jnp.arange(wmb * hloc) // wmb  # global MB row
+            valid = grow < hmb_real
         ent = i16_slice_entropy_impl(
             m16, cmode, i16dc, i16ac, cdc, cac,
             wmb=wmb, hmb=hloc, nw=nw, cap=cap,
-            top_ctx=(t_tc_l, t_cbp_l, t_tc_c, t_cbp_c, t > 0))
+            top_ctx=(t_tc_l, t_cbp_l, t_tc_c, t_cbp_c, t > 0),
+            valid=valid)
         return (ent["words"], ent["nbits"], ent["pack_ok"], ry, rcb, rcr)
 
     return band
@@ -320,10 +331,11 @@ class TileIntraEncoder:
         self.qpc = transform.chroma_qp(qp, 0)
         self.devices = list(devices) if devices is not None else jax.devices()
         n_tile = len(self.devices)
-        assert self.hmb % n_tile == 0, \
-            f"MB rows {self.hmb} must split across {n_tile} tiles"
         self.n_tile = n_tile
-        self.hloc = self.hmb // n_tile
+        # uneven split: pad the frame to n_tile*hloc MB rows (edge
+        # replication); padded MBs emit zero payload bits
+        self.hloc = -(-self.hmb // n_tile)
+        self.hmb_pad = self.hloc * n_tile
         self.mesh = Mesh(np.asarray(self.devices), ("tile",))
         self.sps = SPS(pic_width_in_mbs=self.wmb,
                        pic_height_in_map_units=self.hmb)
@@ -334,8 +346,9 @@ class TileIntraEncoder:
     def _program(self, nw, cap):
         if (nw, cap) in self._cache:
             return self._cache[nw, cap]
-        band = _make_band(self.wmb, self.hmb, self.hloc, self.n_tile,
-                          self.qp, self.qpc, nw, cap)
+        band = _make_band(self.wmb, self.hmb_pad, self.hloc, self.n_tile,
+                          self.qp, self.qpc, nw, cap,
+                          hmb_real=self.hmb)
 
         def one(y, cb, cr):
             ent_words, ent_nbits, ent_ok, ry, rcb, rcr = band(y, cb, cr)
@@ -361,8 +374,16 @@ class TileIntraEncoder:
         w.rbsp_trailing_bits()
         return out + nal_mod.write_nal_unit(1, nal_mod.NAL_PPS, w.getvalue())
 
+    def _pad_rows(self, p, rows):
+        pad = rows - p.shape[0]
+        return p if pad == 0 else np.concatenate(
+            [p, np.repeat(p[-1:], pad, axis=0)])
+
     def encode_frame(self, y, cb, cr) -> bytes:
         nmb_band = self.wmb * self.hloc
+        y = self._pad_rows(np.asarray(y), self.hmb_pad * 16)
+        cb = self._pad_rows(np.asarray(cb), self.hmb_pad * 8)
+        cr = self._pad_rows(np.asarray(cr), self.hmb_pad * 8)
         for nw, cap in ((nmb_band * 24, 8), (nmb_band * 192, 24),
                         (None, None)):
             words, nbits, pok, ry, rcb, rcr = self._program(nw, cap)(
@@ -372,9 +393,11 @@ class TileIntraEncoder:
                     and bool(np.asarray(pok).all())):
                 break
         words_h = np.asarray(words)
-        self.recon = (np.asarray(ry).reshape(self.h, self.w),
-                      np.asarray(rcb).reshape(self.h // 2, self.w // 2),
-                      np.asarray(rcr).reshape(self.h // 2, self.w // 2))
+        hp, w2 = self.hmb_pad * 16, self.w
+        self.recon = (
+            np.asarray(ry).reshape(hp, w2)[: self.h],
+            np.asarray(rcb).reshape(hp // 2, w2 // 2)[: self.h // 2],
+            np.asarray(rcr).reshape(hp // 2, w2 // 2)[: self.h // 2])
         self.idr_pic_id += 1
         shd = SliceHeader(
             slice_type=I_SLICE, frame_num=0,
@@ -412,10 +435,9 @@ class GopTileIntraEncoder:
         self.qpc = transform.chroma_qp(qp, 0)
         devs = list(devices) if devices is not None else jax.devices()
         assert len(devs) >= n_gop * n_tile
-        assert self.hmb % n_tile == 0, \
-            f"MB rows {self.hmb} must split across {n_tile} tiles"
         self.n_gop, self.n_tile = n_gop, n_tile
-        self.hloc = self.hmb // n_tile
+        self.hloc = -(-self.hmb // n_tile)  # uneven: pad the last band
+        self.hmb_pad = self.hloc * n_tile
         self.mesh = Mesh(
             np.asarray(devs[: n_gop * n_tile]).reshape(n_gop, n_tile),
             ("gop", "tile"))
@@ -427,9 +449,9 @@ class GopTileIntraEncoder:
     def _program(self, nw, cap):
         if (nw, cap) in self._cache:
             return self._cache[nw, cap]
-        band = _make_band(self.wmb, self.hmb, self.hloc, self.n_tile,
+        band = _make_band(self.wmb, self.hmb_pad, self.hloc, self.n_tile,
                           self.qp, self.qpc, nw, cap,
-                          vary_axes=("gop", "tile"))
+                          vary_axes=("gop", "tile"), hmb_real=self.hmb)
 
         def shard(y, cb, cr):
             # local: y (B/n_gop, hloc*16, W) — vmap the band step over the
@@ -464,6 +486,12 @@ class GopTileIntraEncoder:
         ys = np.stack([f[0] for f in frames] + [frames[-1][0]] * pad)
         cbs = np.stack([f[1] for f in frames] + [frames[-1][1]] * pad)
         crs = np.stack([f[2] for f in frames] + [frames[-1][2]] * pad)
+        if self.hmb_pad != self.hmb:  # uneven bands: edge-replicate rows
+            rep = lambda a, rows: np.concatenate(  # noqa: E731
+                [a, np.repeat(a[:, -1:], rows - a.shape[1], axis=1)], axis=1)
+            ys = rep(ys, self.hmb_pad * 16)
+            cbs = rep(cbs, self.hmb_pad * 8)
+            crs = rep(crs, self.hmb_pad * 8)
         nmb_band = self.wmb * self.hloc
         for nw, cap in ((nmb_band * 24, 8), (nmb_band * 192, 24),
                         (None, None)):

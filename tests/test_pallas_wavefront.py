@@ -44,6 +44,34 @@ def test_pallas_i16_frame_matches_xla(wh, qp):
 
 
 @pytest.mark.parametrize("wh", [(176, 144), (80, 176)])
+@pytest.mark.parametrize("qp", [10, 40])
+def test_pallas_i16_fast_matches_xla(wh, qp):
+    """The PRODUCTION TPU wavefront (recon-only Pallas + bulk XLA levels,
+    wired into device_i16_frame on real chips) must match the XLA
+    wavefront bit-exactly."""
+    from h264_fer_tpu.kernels.wavefront_pallas import pallas_i16_frame_fast
+
+    W, H = wh
+    wmb, hmb = W // 16, H // 16
+    qpc = chroma_qp(qp)
+    rng = np.random.default_rng(13)
+    y = jnp.asarray(rng.integers(0, 256, (H, W)).astype(np.int32))
+    cb = jnp.asarray(rng.integers(0, 256, (H // 2, W // 2)).astype(np.int32))
+    cr = jnp.asarray(rng.integers(0, 256, (H // 2, W // 2)).astype(np.int32))
+    m16 = intra_mode_decision(y, wmb=wmb, hmb=hmb, qp=qp)["mode16"]
+    cmodes = jnp.asarray(INTRA16_TO_CHROMA_MODE)[m16]
+    ref = wavefront_i16_frame(y, cb, cr, m16, cmodes,
+                              wmb=wmb, hmb=hmb, qp=qp, qpc=qpc)
+    got = pallas_i16_frame_fast(y, cb, cr, m16, cmodes,
+                                wmb=wmb, hmb=hmb, qp=qp, qpc=qpc)
+    names = ("frame", "i16dc", "ac", "cb", "cr", "cdc", "cac")
+    for name, r, g in zip(names, ref, got):
+        np.testing.assert_array_equal(
+            np.asarray(r), np.asarray(g), err_msg=f"{name} @ {W}x{H} qp{qp}"
+        )
+
+
+@pytest.mark.parametrize("wh", [(176, 144), (80, 176)])
 @pytest.mark.parametrize("qp", [10, 28])
 def test_pallas_i4x4_matches_xla(wh, qp):
     from h264_fer_tpu.kernels.wavefront import wavefront_i4x4_luma

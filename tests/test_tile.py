@@ -14,8 +14,11 @@ def clip(fixtures_dir):
     return list(Y4MReader(str(fixtures_dir / "clip_qcif_10f.y4m")))
 
 
-@pytest.mark.parametrize("n_tile", [3, 9])
+@pytest.mark.parametrize("n_tile", [3, 9, 2, 4])
 def test_tile_sharded_equals_single_device(clip, n_tile):
+    # n_tile 2 and 4 do NOT divide QCIF's 9 MB rows: the uneven-band
+    # path (padded last band, zero-bit padded MBs) must still stitch a
+    # byte-identical stream
     import jax
 
     from h264_fer_tpu.codec.encoder import Encoder, EncoderConfig
