@@ -150,12 +150,14 @@ def _nc_chroma_grid(tc_c, cbp_c, wmb: int, hmb: int, top_ctx=None):
     return jnp.stack(cols, axis=-1)  # (2, nmb, 4)
 
 
-def chroma_setup(cdc, cac, wmb: int, hmb: int):
+def chroma_setup(cdc, cac, wmb: int, hmb: int, top_ctx=None):
     """Chroma-side entropy quantities, independent of the luma I4-vs-I16
     arbitration: cbp_chroma, final chroma TC state, nC contexts, per-MB
     exact chroma residual bit count, and the chroma symbol streams.
 
-    cdc: (2, nmb, 4); cac: (2, nmb, 4, 15).
+    cdc: (2, nmb, 4); cac: (2, nmb, 4, 15). top_ctx: optional chroma nC
+    tile halo (top_tc_c (2, wmb, 4), top_cbp_c (wmb,), top_valid) — see
+    _nc_chroma_grid.
     """
     nmb = wmb * hmb
     has_cdc = cdc.reshape(2, nmb, -1).any(axis=(0, 2))
@@ -164,7 +166,7 @@ def chroma_setup(cdc, cac, wmb: int, hmb: int):
     cdc_blk = block_symbols_bulk(cdc, 4)
     cac_blk = block_symbols_bulk(cac, 15)
     tc_chroma = jnp.where((cbp_c == 2)[None, :, None], cac_blk["tc"], 0)
-    nc_c = _nc_chroma_grid(tc_chroma, cbp_c, wmb, hmb)
+    nc_c = _nc_chroma_grid(tc_chroma, cbp_c, wmb, hmb, top_ctx=top_ctx)
     cdc_vals, cdc_lens = finalize_symbols(
         cdc_blk, jnp.full((2, nmb), 4, jnp.int32))
     cac_vals, cac_lens = finalize_symbols(cac_blk, nc_to_ctx(nc_c))
@@ -280,7 +282,8 @@ mixed_slice_entropy = functools.partial(
 
 def p_slice_entropy_impl(skip, mb_type, mvd, luma_levels, cdc, cac,
                          wmb: int, hmb: int, nw: int | None = None,
-                         cap: int | None = None):
+                         cap: int | None = None, top_ctx=None,
+                         run_ctx=None):
     """Whole-slice macroblock_layer bits for a P frame, on device.
 
     The P-slice analog of i16_slice_entropy covering the reference's
@@ -299,6 +302,16 @@ def p_slice_entropy_impl(skip, mb_type, mvd, luma_levels, cdc, cac,
     mb_skip_run symbol — 0 when the slice ends on a coded MB; the host
     needs it for the decoder's trailing-skip-drop emulation), cbp_luma,
     cbp_chroma, tc_luma, tc_chroma, nz_luma.
+
+    MB-row-band tile sharding (parallel/tile_p.py) passes:
+      top_ctx — (top_tc_l (wmb, 16), top_cbp_l (wmb,), top_tc_c
+        (2, wmb, 4), top_cbp_c (wmb,), top_valid): the band-above's
+        last-row nC state;
+      run_ctx — (lead_extra, emit_trailing, trail_total): the
+        mb_skip_run chain across bands — lead_extra adds the preceding
+        bands' trailing-skip count to this band's FIRST coded MB's run,
+        and only the band holding the slice's last coded MB emits the
+        trailing run symbol ue(trail_total).
     """
     nmb = wmb * hmb
     coded = ~skip
@@ -311,12 +324,23 @@ def p_slice_entropy_impl(skip, mb_type, mvd, luma_levels, cdc, cac,
     run = idx - prev - 1
     last_coded = inc[-1]
     trail_run = nmb - 1 - last_coded  # 0 when the last MB is coded
+    if run_ctx is not None:
+        lead_extra, emit_trailing, trail_total = run_ctx
+        first_coded = jnp.min(jnp.where(coded, idx, nmb))
+        run = run + jnp.where(idx == first_coded, lead_extra, 0)
+        trail_run = trail_total
 
     # CBP from levels (setCodedBlockPattern; levels zero at skip MBs)
     quad_any = luma_levels.reshape(nmb, 4, 64).any(axis=-1)  # Z-scan quads
     cbp_l = (quad_any.astype(jnp.int32)
              << jnp.arange(4, dtype=jnp.int32)).sum(axis=-1)
-    ch = chroma_setup(cdc, cac, wmb, hmb)
+    if top_ctx is not None:
+        t_tc_l, t_cbp_l, t_tc_c, t_cbp_c, t_valid = top_ctx
+        luma_top = (t_tc_l, t_cbp_l, t_valid)
+        chroma_top = (t_tc_c, t_cbp_c, t_valid)
+    else:
+        luma_top = chroma_top = None
+    ch = chroma_setup(cdc, cac, wmb, hmb, top_ctx=chroma_top)
     cbp_c = ch["cbp_chroma"]
 
     # luma residual symbols: 16 blocks of maxNumCoeff 16 per MB
@@ -324,7 +348,8 @@ def p_slice_entropy_impl(skip, mb_type, mvd, luma_levels, cdc, cac,
     quad_gate = quad_any[:, :, None] & jnp.ones((1, 1, 4), bool)
     quad_gate = quad_gate.reshape(nmb, 16)  # per-block: its quad coded
     tc_luma = jnp.where(quad_gate, lv_blk["tc"], 0)
-    nc_l = _nc_luma_grid(tc_luma, tc_luma, cbp_l, cbp_l, wmb, hmb)
+    nc_l = _nc_luma_grid(tc_luma, tc_luma, cbp_l, cbp_l, wmb, hmb,
+                         top_ctx=luma_top)
     lv_vals, lv_lens = finalize_symbols(lv_blk, nc_to_ctx(nc_l))
     lv_lens = jnp.where(quad_gate[..., None], lv_lens, 0)
 
@@ -363,6 +388,8 @@ def p_slice_entropy_impl(skip, mb_type, mvd, luma_levels, cdc, cac,
     # trailing skip run (written when the slice ends on skips)
     t_v, t_l = ue_code(trail_run)
     t_l = jnp.where(trail_run > 0, t_l, 0)
+    if run_ctx is not None:
+        t_l = jnp.where(emit_trailing, t_l, 0)
     flat_v = jnp.concatenate([vals.reshape(-1), t_v[None]])
     flat_l = jnp.concatenate([lens.reshape(-1), t_l[None]])
     words, nbits, pack_ok = pack_symbols(flat_v, flat_l, nw=nw, cap=cap)

@@ -75,12 +75,17 @@ def _pred_part_width(mb_type: int) -> int:
 
 
 class _Ctx:
-    """Per-diagonal geometry + state accessors."""
+    """Per-diagonal geometry + state accessors.
 
-    def __init__(self, mvq, mbt, rs, cs, valid, wmb, hmb):
+    halo: optional (halo_mv (wmb, 4, 2), halo_t (wmb,), has_top bool
+    scalar) — the FINAL state of the MB row above the band's first row,
+    for MB-row-band tile sharding (local row -1 reads resolve there)."""
+
+    def __init__(self, mvq, mbt, rs, cs, valid, wmb, hmb, halo=None):
         self.mvq, self.mbt = mvq, mbt
         self.rs, self.cs, self.valid = rs, cs, valid
         self.wmb, self.hmb = wmb, hmb
+        self.halo = halo
 
     def fetch(self, loc):
         """Neighbour MV + existence for a static location. Intra never
@@ -92,16 +97,28 @@ class _Ctx:
         dr, dc, xw, yw = loc
         rn = self.rs + dr
         cn = self.cs + dc
-        exists = self.valid & (rn >= 0) & (cn >= 0) & (cn < self.wmb)
-        rn = jnp.where(exists, rn, self.hmb)  # scratch row
+        col_ok = self.valid & (cn >= 0) & (cn < self.wmb)
         cn = jnp.clip(cn, 0, self.wmb - 1)
-        t = self.mbt[rn, cn]
+        if self.halo is None or dr == 0:
+            exists = col_ok & (rn >= 0)
+            rn = jnp.where(exists, rn, self.hmb)  # scratch row
+            t = self.mbt[rn, cn]
+        else:
+            halo_mv, halo_t, has_top = self.halo
+            from_halo = rn == -1
+            exists = col_ok & ((rn >= 0) | (from_halo & has_top))
+            rn = jnp.where(exists & ~from_halo, rn, self.hmb)
+            t = jnp.where(from_halo, halo_t[cn], self.mbt[rn, cn])
         ti = jnp.clip(t, 0, 4)
         pw = jnp.asarray(_PW)[ti]
         ph = jnp.asarray(_PH)[ti]
         pidx = ((yw // ph) << 1) + (xw // pw)
         pidx = jnp.where(t == MB_SKIP, 0, pidx)
         mv = self.mvq[rn, cn, pidx]
+        if self.halo is not None and dr != 0:
+            halo_mv, halo_t, has_top = self.halo
+            mv = jnp.where((self.rs + dr == -1)[:, None],
+                           halo_mv[cn, pidx], mv)
         return mv, exists
 
 
@@ -159,12 +176,19 @@ def _metric(d, metric_id: int):
 
 def pframe_decide_impl(src_y, planes, int_map, c1mv, q1map, c2mv, q2map,
                        q2ok, maxdiff, wmb: int, hmb: int, window: int,
-                       ext: int, metric_id: int, lam: int):
+                       ext: int, metric_id: int, lam: int, band=None):
     """Run the P-frame decision wavefront.
 
     src_y: (H, W) int32 source. planes: (16, he, we) interp planes.
     int_map: (nmb, 4, S^2); c1mv/c2mv: (nmb, 4, 2); q1map/q2map:
     (nmb, 4, 49); q2ok: (nmb, 4) bool; maxdiff: (nmb,).
+
+    band: optional (axis_name, n_tile, hmb_total, vary_axes) for MB-row
+    band tile sharding — then hmb is the LOCAL row count hloc, the
+    knight wavefront runs the GLOBAL hmb_total schedule, the band
+    above's last-row MV/type state arrives via a per-wave ppermute halo
+    (the MV-prediction analog of the intra recon-row exchange), and the
+    band's just-decided bottom-row state leaves the same way.
 
     Returns dict: skip (nmb,) bool, mb_type (nmb,) int32 (raw, no skip),
     mv (nmb, 4, 2) quadrant-major final MVs, mvd (nmb, 4, 2) per-part
@@ -172,6 +196,15 @@ def pframe_decide_impl(src_y, planes, int_map, c1mv, q1map, c2mv, q2map,
     """
     nmb = wmb * hmb
     S = 2 * window + 1
+    if band is not None:
+        axis, n_tile, hmb_total, vary_axes = band
+        t_idx = jax.lax.axis_index(axis)
+        row0 = t_idx * hmb
+        has_top = t_idx > 0
+        perm = [(i, i + 1) for i in range(n_tile - 1)]
+    else:
+        hmb_total = hmb
+        row0 = 0
 
     src_grid = src_y.reshape(hmb, 16, wmb, 16).transpose(0, 2, 1, 3)
 
@@ -184,7 +217,7 @@ def pframe_decide_impl(src_y, planes, int_map, c1mv, q1map, c2mv, q2map,
     offx = jnp.tile(o, 7)
     offy = jnp.repeat(o, 7)
 
-    ndiag = wmb + 2 * hmb - 2
+    ndiag = wmb + 2 * hmb_total - 2
     dmax = hmb
     slot = jnp.arange(dmax)
 
@@ -193,26 +226,33 @@ def pframe_decide_impl(src_y, planes, int_map, c1mv, q1map, c2mv, q2map,
     skip0 = jnp.zeros((hmb + 1, wmb), bool)
     mvd0 = jnp.zeros((hmb + 1, wmb, 4, 2), jnp.int32)
     type0 = jnp.zeros((hmb + 1, wmb), jnp.int32)
+    hmv0 = jnp.zeros((wmb, 4, 2), jnp.int32)
+    ht0 = jnp.zeros((wmb,), jnp.int32)
 
     def step(d, carry):
-        mvq, mbt, skipg, mvdg, typg = carry
+        mvq, mbt, skipg, mvdg, typg, hmv, ht = carry
+        halo = (hmv, ht, has_top) if band is not None else None
         rs = slot
-        cs = d - 2 * rs
+        cs = d - 2 * (row0 + rs)
         valid = (cs >= 0) & (cs < wmb) & (rs < hmb)
         rc = jnp.where(valid, rs, 0)
         cc = jnp.where(valid, cs, 0)
         rw = jnp.where(valid, rs, hmb)  # scratch row for writes
         mbi = rc * wmb + cc
-        ctx = _Ctx(mvq, mbt, rs, cs, valid, wmb, hmb)
+        ctx = _Ctx(mvq, mbt, rs, cs, valid, wmb, hmb, halo=halo)
 
         src_mb = src_grid[rc, cc]  # (dmax, 16, 16)
         md = maxdiff[mbi][:, None, None]
 
         # ---- P_Skip trial (mode_pred.cpp:381-426 + ExactPixels) --------
-        edge = (rs == 0) | (cs == 0)
+        edge = (row0 + rs == 0) | (cs == 0)
         top_r = jnp.where(rs > 0, rs - 1, hmb)
         left_c = jnp.clip(cs - 1, 0, wmb - 1)
         zt = (mvq[top_r, cc, 2] == 0).all(axis=-1)
+        if band is not None:
+            # local row 0's top neighbour lives in the halo row
+            zt_h = (hmv[cc, 2] == 0).all(axis=-1)
+            zt = jnp.where(rs == 0, zt_h | ~has_top, zt)
         zl = (mvq[rc, left_c, 1] == 0).all(axis=-1)
         pred16 = _predict(ctx, 0, 1, 0)
         skip_mv = jnp.where((edge | zt | zl)[:, None], 0, pred16)
@@ -239,7 +279,7 @@ def pframe_decide_impl(src_y, planes, int_map, c1mv, q1map, c2mv, q2map,
         qscore = jnp.zeros((dmax, 4), jnp.int32)
         qmvp = jnp.zeros((dmax, 4, 2), jnp.int32)
         for q in range(4):
-            ctx_q = _Ctx(mvq, mbt, rs, cs, valid, wmb, hmb)
+            ctx_q = _Ctx(mvq, mbt, rs, cs, valid, wmb, hmb, halo=halo)
             mvp = _predict(ctx_q, 4, 4, q)
             qmvp = qmvp.at[:, q].set(mvp)
             mvpx = mvp[:, 0:1]
@@ -276,7 +316,7 @@ def pframe_decide_impl(src_y, planes, int_map, c1mv, q1map, c2mv, q2map,
 
         # ---- 16x16 unify trial (encoder._maybe_unify) ------------------
         all_eq0 = ((qmv == qmv[:, 0:1]).all(axis=(1, 2)))
-        ctx_u = _Ctx(mvq, mbt, rs, cs, valid, wmb, hmb)
+        ctx_u = _Ctx(mvq, mbt, rs, cs, valid, wmb, hmb, halo=halo)
         mvp_u = _predict(ctx_u, 0, 1, 0)
         split = qscore.sum(axis=1)
         best_u = jnp.zeros((dmax, 2), jnp.int32)
@@ -319,7 +359,7 @@ def pframe_decide_impl(src_y, planes, int_map, c1mv, q1map, c2mv, q2map,
         mbt = mbt.at[rw, cc].set(jnp.where(is_skip, MB_SKIP, mb_type))
 
         # ---- mvd (host final pass; state now shows the real mb_type) ---
-        ctx_f = _Ctx(mvq, mbt, rs, cs, valid, wmb, hmb)
+        ctx_f = _Ctx(mvq, mbt, rs, cs, valid, wmb, hmb, halo=halo)
         mvd = jnp.zeros((dmax, 4, 2), jnp.int32)
         # type 0
         p0_t0 = _predict(ctx_f, 0, 1, 0)
@@ -346,10 +386,35 @@ def pframe_decide_impl(src_y, planes, int_map, c1mv, q1map, c2mv, q2map,
         skipg = skipg.at[rw, cc].set(is_skip)
         mvdg = mvdg.at[rw, cc].set(mvd)
         typg = typg.at[rw, cc].set(mb_type)
-        return mvq, mbt, skipg, mvdg, typg
 
-    mvq, mbt, skipg, mvdg, typg = jax.lax.fori_loop(
-        0, ndiag, step, (mvq0, mbt0, skip0, mvd0, type0))
+        if band is not None:
+            # boundary exchange: this wave's bottom-row final state goes
+            # to the next band, becoming its halo for the same column
+            # one wave later (margin exactly 1 — the consumer's top-right
+            # dependency lands on the previous wave under d = c + 2r)
+            bcol = d - 2 * (row0 + hmb - 1)
+            bc = jnp.clip(bcol, 0, wmb - 1)
+            seg_mv, seg_t = jax.lax.ppermute(
+                (mvq[hmb - 1, bc], mbt[hmb - 1, bc]), axis, perm)
+            icol = d - 2 * row0 + 2  # sender's column at this wave
+            ivalid = (icol >= 0) & (icol < wmb) & has_top
+            ic = jnp.clip(icol, 0, wmb - 1)
+            hmv = hmv.at[ic].set(jnp.where(ivalid, seg_mv, hmv[ic]))
+            ht = ht.at[ic].set(jnp.where(ivalid, seg_t, ht[ic]))
+        return mvq, mbt, skipg, mvdg, typg, hmv, ht
+
+    carry0 = (mvq0, mbt0, skip0, mvd0, type0, hmv0, ht0)
+    if band is not None:
+        # replicated zero init must be marked varying over the manual
+        # mesh axes (ppermute/axis_index in the body; scan-vma typing)
+        axes = tuple(vary_axes) or (axis,)
+        if hasattr(jax.lax, "pcast"):
+            cast = lambda x: jax.lax.pcast(x, axes, to="varying")  # noqa: E731
+        else:  # pragma: no cover — older jax
+            cast = lambda x: jax.lax.pvary(x, axes)  # noqa: E731
+        carry0 = jax.tree_util.tree_map(cast, carry0)
+    mvq, mbt, skipg, mvdg, typg, _, _ = jax.lax.fori_loop(
+        0, ndiag, step, carry0)
     return {
         "skip": skipg[:hmb].reshape(nmb),
         "mb_type": typg[:hmb].reshape(nmb),

@@ -48,6 +48,25 @@ def _planes_impl(ref, ext: int, xp):
     # generous pad: ext for MV range + 3 taps each side + 1 for x+1/y+1 avgs
     pad = ext + 4
     P = xp.pad(ref.astype(xp.int32), pad, mode="edge")
+    return _planes_from_padded(P, H, W, ext, xp)
+
+
+def _planes_impl_vext(ref_v, ext: int, xp):
+    """Planes for an MB-row BAND whose vertical halo rows are already in
+    place: ref_v = (hband + 2*(ext+4), W) with the ext+4 rows above/below
+    holding the REAL neighbouring-band pixels (frame edges: replicated
+    rows). Pads horizontally only; output planes are bit-identical to
+    the corresponding row window of interpolated_planes on the full
+    frame — the halo is exactly the `pad` margin _planes_impl builds."""
+    pad = ext + 4
+    Hv, W = ref_v.shape
+    H = Hv - 2 * pad
+    P = xp.pad(ref_v.astype(xp.int32), ((0, 0), (pad, pad)), mode="edge")
+    return _planes_from_padded(P, H, W, ext, xp)
+
+
+def _planes_from_padded(P, H, W, ext: int, xp):
+    pad = ext + 4
     he, we = H + 2 * ext, W + 2 * ext
 
     def full(x0, y0, h=he, w=we):
@@ -114,6 +133,13 @@ def interpolated_planes_jax(ref, ext: int = 0):
     import jax.numpy as jnp
 
     return _planes_impl(ref, ext, jnp)
+
+
+def interpolated_planes_banded_jax(ref_v, ext: int = 0):
+    """Banded device variant: see _planes_impl_vext."""
+    import jax.numpy as jnp
+
+    return _planes_impl_vext(ref_v, ext, jnp)
 
 
 def pad_chroma(ref_c: np.ndarray, ext_c: int) -> np.ndarray:
