@@ -37,6 +37,10 @@ import time
 import numpy as np
 
 REF_FPS = 2.92
+# reference inter baseline: best optimized-ME figure, 449 ms/frame at
+# 640x352 (Diplomski_Davor Table 6.2) = 2.23 fps, pixel-scaled to
+# 1920x1088 (x0.1078) — the reference never ran P frames at 1080p
+REF_IPPP_FPS = 0.24
 W, H, QP = 1920, 1088, 28
 
 
@@ -87,6 +91,16 @@ def _intra_e2e(w, h, n_frames):
     assert np.array_equal(got[-1][0], ry), "decode mismatch"
     assert np.array_equal(got[-1][1], rcb)
     assert np.array_equal(got[-1][2], rcr)
+    # piggyback metric: host decode throughput over the full stream
+    t0 = time.perf_counter()
+    n_dec = sum(1 for _ in Decoder().decode_annexb(stream))
+    dec_fps = n_dec / (time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": f"decode_{w}x{h}_fps",
+        "value": round(dec_fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": 0.0,
+    }))
     return fps
 
 
@@ -130,7 +144,13 @@ def run_metric(which: str) -> None:
         # decoding the last frame exercises every frame)
         outs = list(Decoder().decode_annexb(stream))
         assert len(outs) == n_frames, "IPPP decode gate failed"
-        name = "e2e_ippp_encode_1080p_fps"
+        print(json.dumps({
+            "metric": "e2e_ippp_encode_1080p_fps",
+            "value": round(fps, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / REF_IPPP_FPS, 2),
+        }))
+        return
     elif which == "qcif":
         fps = _intra_e2e(176, 144, 16)
         name = "e2e_iframe_encode_qcif_fps"
@@ -152,11 +172,12 @@ def main() -> None:
         "H264_FER_TPU_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "h264_fer_tpu",
                      "jax"))
-    deadline = time.monotonic() + 1500  # hard stop for the whole bench
+    deadline = time.monotonic() + 2100  # hard stop for the whole bench
     results = {}
     # two attempts per metric: a first attempt that dies compiling still
-    # persists its finished XLA modules, so the retry resumes warm
-    plan = [("e2e", 420, 2), ("ippp", 420, 2), ("device", 300, 1)]
+    # persists its finished XLA modules, so the retry resumes warm (the
+    # 1080p IPPP GOP-scan program is a ~25 min cold compile; warm ~10 min)
+    plan = [("e2e", 420, 2), ("ippp", 780, 1), ("device", 300, 1)]
     for which, budget, attempts in plan:
         for _ in range(attempts):
             if time.monotonic() + 60 > deadline:
@@ -172,8 +193,14 @@ def main() -> None:
                 continue
             for line in r.stdout.splitlines():
                 if line.startswith("{"):
-                    results[which] = json.loads(line)
-                    break
+                    obj = json.loads(line)
+                    # keep the metric the subprocess was asked for under
+                    # its plan key; piggybacked metrics under their names
+                    if which not in results and not obj["metric"].startswith(
+                            "decode_"):
+                        results[which] = obj
+                    else:
+                        results[obj["metric"]] = obj
             if which in results:
                 break
     if "e2e" not in results and time.monotonic() + 60 < deadline:

@@ -53,7 +53,16 @@ def _cmd_encode(args) -> int:
 
         frames = list(_read_frames(args, rd))
         t0 = time.time()
-        if args.tile_devices:
+        if args.tile_devices and args.intra_every > 1:
+            from .parallel.tile_p import TileIpppEncoder
+
+            enc = TileIpppEncoder(
+                rd.width, rd.height, args.qp, gop_len=args.intra_every,
+                window_size=args.window_size, maxdiff=args.maxdiff,
+                lossy_prefilter=not args.no_prefilter,
+                devices=jax.devices()[: args.tile_devices])
+            stream = enc.encode_sequence(frames)
+        elif args.tile_devices:
             from .parallel.tile import TileIntraEncoder
 
             enc = TileIntraEncoder(rd.width, rd.height, args.qp,
