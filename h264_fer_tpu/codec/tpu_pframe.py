@@ -130,14 +130,23 @@ def integer_score_map(src_y, plane0, ext: int, window: int, metric_id: int):
     hb, wb = H // 8, W // 8
     S = 2 * window + 1
 
-    def one_shift(s):
-        dy, dx = s // S, s % S
-        win = jax.lax.dynamic_slice(
-            plane0, (ext - window + dy, ext - window + dx), (H, W))
-        return block_sums_8x8(_metric(win - src_y, metric_id), hb, wb)
+    # one serial step per dy ROW of the search window, all S dx shifts of
+    # that row vectorized (a flat lax.map over S^2 shifts serializes 289
+    # dependent steps and measured 3.3 s/frame at 1080p; this runs the
+    # same ops at S-way batch width: ~S× fewer sequential dispatches)
+    def row_shifts(dy):
+        strip = jax.lax.dynamic_slice(
+            plane0, (ext - window + dy, 0), (H, plane0.shape[1]))
 
-    m = jax.lax.map(one_shift, jnp.arange(S * S))  # (S2, nb)
-    return m.T.astype(jnp.int32)
+        def one_dx(dx):
+            win = jax.lax.dynamic_slice(
+                strip, (0, ext - window + dx), (H, W))
+            return block_sums_8x8(_metric(win - src_y, metric_id), hb, wb)
+
+        return jax.vmap(one_dx)(jnp.arange(S))  # (S, nb)
+
+    m = jax.lax.map(row_shifts, jnp.arange(S))  # (S, S, nb)
+    return m.reshape(S * S, hb * wb).T.astype(jnp.int32)
 
 
 def qpel_refine_map(src_y, planes, center_mv, ext: int, metric_id: int,

@@ -79,9 +79,10 @@ def main():
     timeit("pallas wavefront (recon+levels)", lambda: _sync(
         pallas_i16_frame_fast(y, cb, cr, m16, cm, wmb=wmb, hmb=hmb,
                               qp=qp, qpc=qpc)[0][0, 0]))
-    timeit("xla wavefront (recon+levels)", lambda: _sync(
-        wavefront_i16_frame(y, cb, cr, m16, cm, wmb=wmb, hmb=hmb,
-                            qp=qp, qpc=qpc)[0][0, 0]))
+    if "--xla-wavefront" in sys.argv:  # crashes the axon worker at 1080p
+        timeit("xla wavefront (recon+levels)", lambda: _sync(
+            wavefront_i16_frame(y, cb, cr, m16, cm, wmb=wmb, hmb=hmb,
+                                qp=qp, qpc=qpc)[0][0, 0]))
     recon_y, i16dc, i16ac, rcb, rcr, cdc, cac = wf
     timeit("levels_from_recon alone", lambda: _sync(
         i16_levels_from_recon(y, cb, cr, recon_y, rcb, rcr, m16, cm,
@@ -138,9 +139,10 @@ def main():
         timeit("P: bulk ME maps (int + 2x qpel)",
                lambda: _sync(maps_fn(y, planes, pmv)["int_map"][0, 0, 0]))
         md = tp.adaptive_maxdiff(y, wmb, hmb, -1)
+        metric_id, lam = tp.me_params(qp)
         dec_fn = functools.partial(
             pframe_decide, wmb=wmb, hmb=hmb, window=window, ext=ext,
-            metric_id=maps["metric_id"], lam=maps["lam"])
+            metric_id=metric_id, lam=lam)
         dec = dec_fn(y, planes, maps["int_map"], maps["c1mv"],
                      maps["q1map"], maps["c2mv"], maps["q2map"],
                      maps["q2ok"], md)
