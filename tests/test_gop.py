@@ -65,3 +65,19 @@ def test_gop_idr_ids_distinct(fixtures_dir):
     assert len(ids) == 4
     for a, b in zip(ids, ids[1:]):
         assert a != b, ids
+
+
+def test_multihost_single_process_ippp(fixtures_dir):
+    import jax
+
+    from h264_fer_tpu.codec.decoder import Decoder
+    from h264_fer_tpu.parallel.dist import encode_multihost
+    from h264_fer_tpu.parallel.gop_device import GopIpppEncoder
+
+    frames = list(Y4MReader(str(fixtures_dir / "clip_qcif_10f.y4m")))[:4]
+    out = encode_multihost(frames, 176, 144, qp=28, gop_len=2)
+    ref = GopIpppEncoder(
+        176, 144, 28, gop_len=2,
+        devices=jax.local_devices()).encode_sequence(frames)
+    assert out == ref
+    assert len(list(Decoder().decode_annexb(out))) == 4
