@@ -484,7 +484,7 @@ class Decoder:
         x0, y0 = self._mb_origin(curr)
         qpy = self.qpy
         if cbp_luma == 0 or not luma_levels.any():
-            out = np.clip(pred_l, 0, 255)
+            out = pred_l  # MC output is already clipped (interp planes)
         else:
             blocks = transform.zigzag_unscan(luma_levels)  # (16, 4, 4)
             res = transform.inverse_residual(blocks, qpy, False)
@@ -503,8 +503,8 @@ class Decoder:
         x0, y0 = self._mb_origin(curr)
         ys, xs = slice(y0 // 2, y0 // 2 + 8), slice(x0 // 2, x0 // 2 + 8)
         if not (chroma_dc.any() or chroma_ac.any()):
-            self.cb[ys, xs] = np.clip(pred_cb, 0, 255)
-            self.cr[ys, xs] = np.clip(pred_cr, 0, 255)
+            self.cb[ys, xs] = pred_cb  # bilinear of clipped stays in range
+            self.cr[ys, xs] = pred_cr
             return
         qpc = transform.chroma_qp(self.qpy, self.pps.chroma_qp_index_offset)
         # batched over both channels x 4 blocks (8 inverse transforms at once)
