@@ -47,6 +47,14 @@ class EncoderConfig:
     maxdiff: int = -1  # tolerated error; -1 = per-MB adaptive
     lossy_prefilter: bool = True  # MAXDIFF source filtering (reference default)
     scene_cut_idr: bool = True  # SAD-threshold IDR selection
+    scene_cut_source: bool = False  # scene-cut SAD vs previous SOURCE
+    # frame instead of the reconstructed reference: decisions become a
+    # pure function of the input sequence, so IDR boundaries are
+    # precomputable and the GOP-parallel encoders can shard adaptive
+    # GOPs (parallel/gop_device.py scene_cut_source). The reference
+    # compares vs the DPB recon (ref_frames.cpp:185-234); at these
+    # thresholds (16/pixel) the two disagree only when recon drift is
+    # comparable to a scene change.
     qpel: bool = True  # quarter-pel ME refinement
     deblock: bool = False  # in-loop deblocking filter (superset; the
     # reference has none — its streams/output are unfiltered)
@@ -143,6 +151,7 @@ class Encoder:
 
         t0 = time.time()
         is_idr = self._select_nal_unit_type(y)
+        self._prev_src_y = y.copy()  # scene_cut_source comparand
         self.curr_frame_count += 1
         if is_idr:
             # IDR resets all prediction state: the MV field must not leak
@@ -275,6 +284,10 @@ class Encoder:
             return True
         if not self.cfg.scene_cut_idr:
             return False
+        if self.cfg.scene_cut_source:
+            ref = self._prev_src_y
+            sad = int(np.abs(y.astype(np.int64) - ref.astype(np.int64)).sum())
+            return sad > (self.nmb << 12)
         self._materialize()
         sad = int(np.abs(y.astype(np.int64) - self.ref_y.astype(np.int64)).sum())
         return sad > (self.nmb << 12)

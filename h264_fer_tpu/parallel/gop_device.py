@@ -200,16 +200,21 @@ class GopIpppEncoder:
     with zero collectives. Streams are byte-identical to the serial
     ``Encoder(tpu_iframe=True, tpu_pframe=True, intra_every=gop_len)``
     ONLY under that encoder's matching config: ``deblock=False`` (the
-    emitted headers hardcode disable_deblocking_filter_idc=1) and
-    ``scene_cut_idr=False`` (a SAD-triggered IDR would break the fixed
-    gop_len split; use the serial encoder for adaptive GOPs).
+    emitted headers hardcode disable_deblocking_filter_idc=1) and a
+    matching IDR rule — fixed GOPs need ``scene_cut_idr=False``;
+    ``scene_cut_source=True`` here matches the serial encoder's
+    ``scene_cut_idr=True, scene_cut_source=True`` mode (adaptive IDRs
+    from SOURCE-frame SAD, ref_frames.cpp:185-234's decision made
+    precomputable so variable-length GOPs still shard).
     """
 
     def __init__(self, width: int, height: int, qp: int, gop_len: int,
                  window_size: int = 16, maxdiff: int = -1,
-                 lossy_prefilter: bool = True, devices=None) -> None:
+                 lossy_prefilter: bool = True, devices=None,
+                 scene_cut_source: bool = False) -> None:
         assert width % 16 == 0 and height % 16 == 0
         assert gop_len >= 2, "use GopIntraEncoder for all-intra"
+        self.scene_cut_source = bool(scene_cut_source)
         self.w, self.h, self.qp, self.T = width, height, qp, gop_len
         self.wmb, self.hmb = width // 16, height // 16
         self.nmb = self.wmb * self.hmb
@@ -222,11 +227,15 @@ class GopIpppEncoder:
         self.pps = PPS(pic_init_qp=14 + qp)
         self.devices = list(devices) if devices is not None else jax.devices()
         self.mesh = Mesh(np.asarray(self.devices), ("gop",))
-        # P slice headers: frame_num/POC sequences are deterministic, so
-        # the header bytes (and the bit counts the device scan needs for
-        # the trailing-skip drop) are precomputed once
+        self._set_hdrs(gop_len)
+        self._cache = {}
+
+    def _set_hdrs(self, T: int) -> None:
+        """P slice headers for GOP length T: frame_num/POC sequences are
+        deterministic, so the header bytes (and the bit counts the device
+        scan needs for the trailing-skip drop) are precomputed."""
         self._p_hdrs = []
-        for j in range(1, gop_len):
+        for j in range(1, T):
             shd = SliceHeader(
                 slice_type=P_SLICE, frame_num=j & (self.sps.max_frame_num - 1),
                 idr_pic_id=0,
@@ -240,7 +249,6 @@ class GopIpppEncoder:
                 w.write(0, 8 - w.bit_position % 8)  # replays `bits` only
             self._p_hdrs.append((w.getvalue(), bits))
         self._hdr_bits = np.asarray([b for _, b in self._p_hdrs], np.int32)
-        self._cache = {}
 
     def headers(self) -> bytes:
         w = BitWriter()
@@ -330,35 +338,67 @@ class GopIpppEncoder:
         return (np.asarray(wi), np.asarray(mi),
                 np.asarray(wp), np.asarray(mp))
 
+    def _gop_lengths(self, frames) -> list:
+        """Per-GOP frame counts. Fixed mode: gop_len-sized chunks.
+        scene_cut_source: an extra IDR wherever the source-SAD threshold
+        fires (the serial encoder's scene_cut_source rule — thresholds
+        and the absolute-frame-count IntraEvery period both match
+        encoder._select_nal_unit_type)."""
+        b = len(frames)
+        if not self.scene_cut_source:
+            return [min(self.T, b - s) for s in range(0, b, self.T)]
+        thr = self.nmb << 12
+        lens = []
+        cur = 0
+        for i in range(1, b):
+            cut = (i % self.T == 0) or (
+                int(np.abs(frames[i][0].astype(np.int64)
+                           - frames[i - 1][0].astype(np.int64)).sum()) > thr)
+            if cut:
+                lens.append(i - cur)
+                cur = i
+        lens.append(b - cur)
+        return lens
+
     def encode_sequence(self, frames) -> bytes:
         """frames: list of (y, cb, cr) uint8 planes; length need not be a
         multiple of gop_len or the device count (padded GOPs/frames are
         encoded and discarded)."""
         b = len(frames)
-        T = self.T
-        fpad = (-b) % T
-        padded = list(frames) + [frames[-1]] * fpad
-        n_gop = len(padded) // T
+        lens = self._gop_lengths(frames)
+        T = max(max(lens), 2)
+        if T != len(self._p_hdrs) + 1:
+            self._set_hdrs(T)
+        n_gop = len(lens)
         gpad = 0 if len(self.devices) == 1 else (-n_gop) % len(self.devices)
-        ys = np.stack([f[0] for f in padded]).reshape(
-            n_gop, T, self.h, self.w)
-        cbs = np.stack([f[1] for f in padded]).reshape(
-            n_gop, T, self.h // 2, self.w // 2)
-        crs = np.stack([f[2] for f in padded]).reshape(
-            n_gop, T, self.h // 2, self.w // 2)
+        starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        gops = [[frames[s + min(j, L - 1)] for j in range(T)]
+                for s, L in zip(starts, lens)]  # per-GOP pad: repeat last
+        ys = np.stack([[f[0] for f in g] for g in gops])
+        cbs = np.stack([[f[1] for f in g] for g in gops])
+        crs = np.stack([[f[2] for f in g] for g in gops])
         if gpad:
             rep = lambda a: np.concatenate(  # noqa: E731
                 [a, np.repeat(a[-1:], gpad, axis=0)])
             ys, cbs, crs = rep(ys), rep(cbs), rep(crs)
         wi, mi, wp, mp = self._device_payloads((ys, cbs, crs))
         out = bytearray(self.headers())
+        idr_id = 0
+        prev_was_idr = False
         for g in range(n_gop):
-            for j in range(T):
-                if g * T + j >= b:
-                    break
+            for j in range(int(lens[g])):
                 if j == 0:
+                    # idr_pic_id sequence (encoder._encode_slice): 0 on
+                    # the first IDR and after P frames; +1 when the
+                    # previous frame was also an IDR (length-1 GOPs)
+                    if g == 0:
+                        idr_id = 0
+                    elif prev_was_idr:
+                        idr_id += 1
+                    else:
+                        idr_id = 0
                     shd = SliceHeader(
-                        slice_type=I_SLICE, frame_num=0, idr_pic_id=0,
+                        slice_type=I_SLICE, frame_num=0, idr_pic_id=idr_id,
                         pic_order_cnt_lsb=0, slice_qp_delta=-14,
                         disable_deblocking_filter_idc=1)
                     w = BitWriter()
@@ -368,6 +408,7 @@ class GopIpppEncoder:
                     w.rbsp_trailing_bits()
                     out += nal_mod.write_nal_unit(
                         1, nal_mod.NAL_IDR, w.getvalue())
+                    prev_was_idr = True
                 else:
                     hdr_bytes, hdr_bits = self._p_hdrs[j - 1]
                     w = BitWriter()
@@ -377,6 +418,7 @@ class GopIpppEncoder:
                     w.rbsp_trailing_bits()
                     out += nal_mod.write_nal_unit(
                         1, nal_mod.NAL_NOT_IDR, w.getvalue())
+                    prev_was_idr = False
         return bytes(out)
 
 
