@@ -41,7 +41,7 @@ def device_gop_ippp_impl(ys, cbs, crs, p_hdr_bits,
     Returns words_i/meta_i for the IDR and stacked words_p (T-1, nw_p) /
     meta_p (T-1, 3) for the P frames (meta = [nbits, pack_ok, trail_bits]).
     """
-    from ..kernels.wavefront_p import pframe_decide_impl as pframe_decide
+    from ..kernels.wavefront_p import pframe_decide_dispatch as pframe_decide
     from ..ops.interp import interpolated_planes_jax, pad_chroma_jax
     from .tpu_entropy import p_slice_entropy_impl as p_slice_entropy
     from .tpu_iframe import device_i16_frame_impl as device_i16_frame

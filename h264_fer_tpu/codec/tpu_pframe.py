@@ -47,7 +47,7 @@ def device_p_frame_impl(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
     in full pel (cfg.window_size // 2). Bit-identical to the host
     per-MB path (tests/test_tpu_pframe.py).
     """
-    from ..kernels.wavefront_p import pframe_decide_impl as pframe_decide
+    from ..kernels.wavefront_p import pframe_decide_dispatch as pframe_decide
     from ..ops.interp import interpolated_planes_jax, pad_chroma_jax
     from .tpu_entropy import p_slice_entropy_impl as p_slice_entropy
 
@@ -220,13 +220,21 @@ def pframe_maps(src_y, planes, prev_mv, wmb: int, hmb: int, window: int,
     k = jnp.argmin(im, axis=1)  # pure-distortion argmin, (dy, dx) ties
     c1 = jnp.stack([(k % S - window) * 4, (k // S - window) * 4],
                    axis=-1).astype(jnp.int32)
-    q1 = qpel_refine_map(src_y, planes, c1, ext, metric_id)
     lim = ext * 4 - 4
     c2_mbq = prev_mv.astype(jnp.int32)
     q2ok = (jnp.abs(c2_mbq) <= lim - 3).all(axis=-1)  # (nmb, 4)
     c2_blk = jnp.clip(  # clamp so masked-out gathers stay in bounds
         _mbq_to_blocks(c2_mbq, wmb, hmb), -(lim - 3), lim - 3)
-    q2 = qpel_refine_map(src_y, planes, c2_blk, ext, metric_id)
+    import os
+    if os.environ.get("H264_FER_TPU_NO_PALLAS"):
+        q1 = qpel_refine_map(src_y, planes, c1, ext, metric_id)
+        q2 = qpel_refine_map(src_y, planes, c2_blk, ext, metric_id)
+    else:
+        # Pallas strip kernel: both 49-offset maps in one launch, ~9x
+        # faster than the XLA gather form on chip (kernels/me_pallas.py)
+        from ..kernels.me_pallas import qpel_refine_pallas_impl
+        q1, q2 = qpel_refine_pallas_impl(
+            src_y, planes, c1, c2_blk, window, ext, metric_id)
     return {
         "int_map": _blocks_to_mbq(im, wmb, hmb),
         "c1mv": _blocks_to_mbq(c1, wmb, hmb),

@@ -425,3 +425,26 @@ def pframe_decide_impl(src_y, planes, int_map, c1mv, q1map, c2mv, q2map,
 
 pframe_decide = functools.partial(jax.jit, static_argnames=(
     "wmb", "hmb", "window", "ext", "metric_id", "lam"))(pframe_decide_impl)
+
+
+def pframe_decide_dispatch(src_y, planes, int_map, c1mv, q1map, c2mv,
+                           q2map, q2ok, maxdiff, wmb: int, hmb: int,
+                           window: int, ext: int, metric_id: int, lam: int):
+    """Non-banded decide: the Pallas grid-sequential kernel
+    (kernels/wavefront_p_pallas.py, ~56 ms vs ~494 ms at 1080p) unless
+    H264_FER_TPU_NO_PALLAS re-selects this XLA fori_loop form. Banded
+    (tile-sharded) callers keep pframe_decide_impl — its per-wave
+    ppermute halo cannot run inside a single-device kernel."""
+    import os
+
+    if os.environ.get("H264_FER_TPU_NO_PALLAS"):
+        return pframe_decide_impl(
+            src_y, planes, int_map, c1mv, q1map, c2mv, q2map, q2ok,
+            maxdiff, wmb=wmb, hmb=hmb, window=window, ext=ext,
+            metric_id=metric_id, lam=lam)
+    from .wavefront_p_pallas import pframe_decide_pallas_impl
+
+    return pframe_decide_pallas_impl(
+        src_y, planes, int_map, c1mv, q1map, c2mv, q2map, q2ok, maxdiff,
+        wmb=wmb, hmb=hmb, window=window, ext=ext, metric_id=metric_id,
+        lam=lam)
