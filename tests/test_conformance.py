@@ -43,23 +43,46 @@ def test_intra_byte_parity_sweep(clip, qp):
     ref = (CONF / f"ref_intra_qp{qp}.264").read_bytes()
     enc = Encoder(176, 144, EncoderConfig(qp=qp, intra_every=1))
     mine = enc.encode_sequence(clip[:2])
-    assert mine == ref[: len(mine)], f"QP{qp}: byte mismatch"
+    assert mine == ref, f"QP{qp}: byte mismatch"
 
 
-@pytest.mark.parametrize("qp", [16, 22, 28, 34, 40, 43, 46])
-def test_inter_rd_full_grid(clip, qp):
-    """Inter RD must stay >= the reference at EVERY QP on the full grid
-    (BASELINE.md): PSNR >= reference, bytes <= 1.10x reference (the
-    high-QP rows deliberately trade bits for PSNR, encoder._me_metric)."""
+FULL_GRID = [16, 22, 28, 34, 40, 43, 46]
+
+
+@pytest.fixture(scope="module")
+def full_grid_points(clip):
     goldens = json.loads((CONF / "rd_goldens.json").read_text())
-    ref = goldens[str(qp)]
-    enc = Encoder(176, 144, EncoderConfig(qp=qp, intra_every=100))
-    mine = enc.encode_sequence(clip)
-    dec = list(Decoder().decode_annexb(mine))
-    pm = float(np.mean([psnr(d[0], s[0]) for d, s in zip(dec, clip)]))
+    pts = {}
+    for qp in FULL_GRID:
+        enc = Encoder(176, 144, EncoderConfig(qp=qp, intra_every=100))
+        mine = enc.encode_sequence(clip)
+        dec = list(Decoder().decode_annexb(mine))
+        pm = float(np.mean(
+            [psnr(d[0], s[0]) for d, s in zip(dec, clip)]))
+        pts[qp] = (len(mine), pm, goldens[str(qp)])
+    return pts
+
+
+@pytest.mark.parametrize("qp", FULL_GRID)
+def test_inter_rd_full_grid(full_grid_points, qp):
+    """Inter RD must DOMINATE the reference at EVERY QP on the full grid
+    (BASELINE.md): PSNR >= reference AND bytes <= reference; the QP46
+    bits-for-PSNR trade is licensed by the BD-rate curve guard below."""
+    nbytes, pm, ref = full_grid_points[qp]
     assert pm >= ref["psnr"], f"QP{qp}: {pm:.3f}dB < ref {ref['psnr']}dB"
-    assert len(mine) <= ref["bytes"] * 1.10, (
-        f"QP{qp}: {len(mine)}B > 1.10x ref {ref['bytes']}B")
+    if qp < FULL_GRID[-1]:
+        assert nbytes <= ref["bytes"], (
+            f"QP{qp}: {nbytes}B > ref {ref['bytes']}B")
+
+
+def test_inter_bd_rate_full_grid(full_grid_points):
+    from .test_rd import bd_rate
+
+    ref_pts = [(v[2]["bytes"], v[2]["psnr"])
+               for v in full_grid_points.values()]
+    my_pts = [(v[0], v[1]) for v in full_grid_points.values()]
+    bd = bd_rate(ref_pts, my_pts)
+    assert bd <= 0.0, f"BD-rate {bd:+.2f}% vs reference (> 0 = RD loss)"
 
 
 @pytest.mark.skipif(not DRUGI.exists(), reason="reference checkout absent")

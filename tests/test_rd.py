@@ -1,12 +1,13 @@
-"""RD regression guard: inter encode must stay >= the reference encoder.
+"""RD regression guard: inter encode must DOMINATE the reference encoder.
 
 Golden numbers are the reference binary's (tools/oracle refenc) results on
 tests/fixtures/clip_qcif_10f.y4m, QP sweep with intra_every=100 — i.e. one
 I-frame + nine P-frames (Diplomski_Davor Table 6.x workload shape). The
-north star (BASELINE.md) requires luma PSNR >= reference at EVERY QP; bytes
-should stay competitive (<= ref at low/mid QP, <= 1.10x at the QP46 extreme
-where the encoder deliberately trades bits for PSNR — see
-encoder._me_metric).
+north star (BASELINE.md) requires PSNR-vs-bitrate >= reference at EVERY QP:
+per-point that means PSNR >= ref AND bytes <= ref; the QP46 extreme
+deliberately trades bits for PSNR (encoder._me_metric's 2*SSD tier), so the
+grid-level Bjontegaard BD-rate <= 0 guard proves the trade stays on the
+winning side of the reference's curve rather than granting per-point slack.
 
 Regenerate goldens: python tools/conformance.py encode (plus QP43/46 runs).
 """
@@ -31,17 +32,61 @@ REF = {
     40: (6126, 42.474),
     46: (6470, 39.201),
 }
+# highest QP: the only point allowed to spend more bytes than the
+# reference, and only under the BD-rate <= 0 curve guard below
+TOP_QP = 46
+
+
+def bd_rate(ref_pts, my_pts) -> float:
+    """Bjontegaard delta-rate (%): mean log-rate gap over the common PSNR
+    span, cubic log(rate)-vs-PSNR fits. Negative = fewer bits than the
+    reference at equal quality."""
+    rr, rp = zip(*ref_pts)
+    mr, mp = zip(*my_pts)
+    deg = min(3, len(rr) - 1)
+    fr = np.polyfit(rp, np.log(np.asarray(rr, float)), deg)
+    fm = np.polyfit(mp, np.log(np.asarray(mr, float)), deg)
+    lo, hi = max(min(rp), min(mp)), min(max(rp), max(mp))
+    p = np.linspace(lo, hi, 256)
+    ir = np.polyval(fr, p)
+    im = np.polyval(fm, p)
+    return float((np.exp(np.mean(im - ir)) - 1.0) * 100.0)
+
+
+def _encode_points(qps):
+    frames = list(Y4MReader(str(CLIP)))
+    pts = {}
+    for qp in qps:
+        enc = Encoder(176, 144, EncoderConfig(qp=qp, intra_every=100))
+        mine = enc.encode_sequence(frames)
+        dec = list(Decoder().decode_annexb(mine))
+        pm = float(np.mean(
+            [psnr(d[0], s[0]) for d, s in zip(dec, frames)]))
+        pts[qp] = (len(mine), pm)
+    return pts
+
+
+@pytest.fixture(scope="module")
+def rd_points():
+    return _encode_points(sorted(REF))
 
 
 @pytest.mark.parametrize("qp", sorted(REF))
-def test_inter_rd_beats_reference(qp):
-    frames = list(Y4MReader(str(CLIP)))
-    enc = Encoder(176, 144, EncoderConfig(qp=qp, intra_every=100))
-    mine = enc.encode_sequence(frames)
-    dec = list(Decoder().decode_annexb(mine))
-    pm = float(np.mean([psnr(d[0], s[0]) for d, s in zip(dec, frames)]))
+def test_inter_rd_dominates_reference(rd_points, qp):
+    nbytes, pm = rd_points[qp]
     ref_bytes, ref_psnr = REF[qp]
     assert pm >= ref_psnr, f"QP{qp}: {pm:.3f}dB < reference {ref_psnr}dB"
-    assert len(mine) <= ref_bytes * 1.10, (
-        f"QP{qp}: {len(mine)}B > 1.10x reference {ref_bytes}B"
-    )
+    if qp < TOP_QP:
+        assert nbytes <= ref_bytes, (
+            f"QP{qp}: {nbytes}B > reference {ref_bytes}B at "
+            f"{pm:.3f} vs {ref_psnr:.3f}dB")
+
+
+def test_inter_bd_rate_negative(rd_points):
+    """Curve-level dominance: BD-rate vs the reference over the QP grid
+    must be <= 0 (it is ~-6% today) — this is what licenses the QP46
+    bits-for-PSNR trade."""
+    ref_pts = [(b, p) for b, p in (REF[q] for q in sorted(REF))]
+    my_pts = [rd_points[q] for q in sorted(REF)]
+    bd = bd_rate(ref_pts, my_pts)
+    assert bd <= 0.0, f"BD-rate {bd:+.2f}% vs reference (> 0 = RD loss)"
