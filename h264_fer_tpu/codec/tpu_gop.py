@@ -76,11 +76,19 @@ def device_gop_ippp_impl(ys, cbs, crs, p_hdr_bits,
             wmb=wmb, hmb=hmb, window=window, ext=ext,
             metric_id=maps["metric_id"], lam=maps["lam"])
 
-        pred_y = mc_luma_bulk(planes, dec["mv"], ext, wmb, hmb)
-        pred_cb = mc_chroma_bulk(
-            pad_chroma_jax(ref_cb, ext_c), dec["mv"], ext_c, wmb, hmb)
-        pred_cr = mc_chroma_bulk(
-            pad_chroma_jax(ref_cr, ext_c), dec["mv"], ext_c, wmb, hmb)
+        import os as _os
+
+        cb_pad = pad_chroma_jax(ref_cb, ext_c)
+        cr_pad = pad_chroma_jax(ref_cr, ext_c)
+        if _os.environ.get("H264_FER_TPU_NO_PALLAS"):
+            pred_y = mc_luma_bulk(planes, dec["mv"], ext, wmb, hmb)
+            pred_cb = mc_chroma_bulk(cb_pad, dec["mv"], ext_c, wmb, hmb)
+            pred_cr = mc_chroma_bulk(cr_pad, dec["mv"], ext_c, wmb, hmb)
+        else:
+            from ..kernels.mc_pallas import mc_bulk_pallas_impl
+
+            pred_y, pred_cb, pred_cr = mc_bulk_pallas_impl(
+                planes, cb_pad, cr_pad, dec["mv"], ext, ext_c, wmb, hmb)
         levels, recon_y, recon_cb, recon_cr = pframe_residual_recon(
             src_y, src_cb, src_cr, pred_y, pred_cb, pred_cr, dec["skip"],
             maxdiff, wmb, hmb, qp, qpc, prefilter)

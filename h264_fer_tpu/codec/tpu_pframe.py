@@ -26,6 +26,7 @@ SAD below QP36, SSD at QP36+, 2*SSD at QP45+ (with λ = 1/2/3).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -66,13 +67,16 @@ def device_p_frame_impl(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
         metric_id=maps["metric_id"], lam=maps["lam"])
 
     ext_c = ext // 2 + 1
-    pred_y = mc_luma_bulk(planes, dec["mv"], ext, wmb, hmb)
-    pred_cb = mc_chroma_bulk(
-        pad_chroma_jax(ref_cb.astype(jnp.int32), ext_c), dec["mv"],
-        ext_c, wmb, hmb)
-    pred_cr = mc_chroma_bulk(
-        pad_chroma_jax(ref_cr.astype(jnp.int32), ext_c), dec["mv"],
-        ext_c, wmb, hmb)
+    cb_pad = pad_chroma_jax(ref_cb.astype(jnp.int32), ext_c)
+    cr_pad = pad_chroma_jax(ref_cr.astype(jnp.int32), ext_c)
+    if os.environ.get("H264_FER_TPU_NO_PALLAS"):
+        pred_y = mc_luma_bulk(planes, dec["mv"], ext, wmb, hmb)
+        pred_cb = mc_chroma_bulk(cb_pad, dec["mv"], ext_c, wmb, hmb)
+        pred_cr = mc_chroma_bulk(cr_pad, dec["mv"], ext_c, wmb, hmb)
+    else:
+        from ..kernels.mc_pallas import mc_bulk_pallas_impl
+        pred_y, pred_cb, pred_cr = mc_bulk_pallas_impl(
+            planes, cb_pad, cr_pad, dec["mv"], ext, ext_c, wmb, hmb)
     levels, recon_y, recon_cb, recon_cr = pframe_residual_recon(
         src_y, src_cb, src_cr, pred_y, pred_cb, pred_cr, dec["skip"],
         maxdiff, wmb, hmb, qp, qpc, prefilter)
@@ -216,7 +220,12 @@ def pframe_maps(src_y, planes, prev_mv, wmb: int, hmb: int, window: int,
     ext = window + 2
     metric_id, lam = me_params(qp)
     S = 2 * window + 1
-    im = integer_score_map(src_y, planes[0], ext, window, metric_id)
+    if os.environ.get("H264_FER_TPU_NO_PALLAS"):
+        im = integer_score_map(src_y, planes[0], ext, window, metric_id)
+    else:
+        from ..kernels.me_int_pallas import integer_score_map_pallas_impl
+        im = integer_score_map_pallas_impl(
+            src_y, planes[0], ext, window, metric_id)
     k = jnp.argmin(im, axis=1)  # pure-distortion argmin, (dy, dx) ties
     c1 = jnp.stack([(k % S - window) * 4, (k // S - window) * 4],
                    axis=-1).astype(jnp.int32)
@@ -225,7 +234,6 @@ def pframe_maps(src_y, planes, prev_mv, wmb: int, hmb: int, window: int,
     q2ok = (jnp.abs(c2_mbq) <= lim - 3).all(axis=-1)  # (nmb, 4)
     c2_blk = jnp.clip(  # clamp so masked-out gathers stay in bounds
         _mbq_to_blocks(c2_mbq, wmb, hmb), -(lim - 3), lim - 3)
-    import os
     if os.environ.get("H264_FER_TPU_NO_PALLAS"):
         q1 = qpel_refine_map(src_y, planes, c1, ext, metric_id)
         q2 = qpel_refine_map(src_y, planes, c2_blk, ext, metric_id)
