@@ -59,9 +59,9 @@ def _content(n, w=W, h=H):
     return frames
 
 
-def _intra_e2e(w, h, n_frames):
-    """(fps, stream) of the pipelined all-intra sequence encode, parity-
-    and decode-gated."""
+def _intra_e2e(w, h, n_frames, reps=3):
+    """Median-of-reps fps of the pipelined all-intra sequence encode,
+    parity- and decode-gated over EVERY frame."""
     import jax
 
     from h264_fer_tpu.codec.decoder import Decoder
@@ -71,30 +71,38 @@ def _intra_e2e(w, h, n_frames):
 
     frames = _content(n_frames, w, h)
     # serial per-frame encoder: the byte-parity oracle (its streams are
-    # reference-decoder-verified); also warms the shared frame program
+    # reference-decoder-verified); also warms the shared frame program.
+    # Per-frame reconstructions feed the full decode gate below.
     enc = Encoder(w, h, EncoderConfig(qp=QP, intra_every=1),
                   tpu_pipeline=TpuIntraPipeline(w, h, qp=QP),
                   tpu_iframe=True)
-    serial = enc.encode_sequence(frames)
+    serial = bytearray(enc.headers())
+    recons = []
+    for f in frames:
+        serial += enc.encode_frame(*f)
+        recons.append(tuple(np.copy(p) for p in enc.reconstructed()))
+    serial = bytes(serial)
     genc = GopIntraEncoder(w, h, QP, devices=jax.devices()[:1])
     stream = genc.encode_sequence(frames)  # warm the pipelined path
-    t0 = time.perf_counter()
-    stream = genc.encode_sequence(frames)
-    fps = len(frames) / (time.perf_counter() - t0)
+    vals = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        stream = genc.encode_sequence(frames)
+        vals.append(len(frames) / (time.perf_counter() - t0))
+    fps = sorted(vals)[len(vals) // 2]
     assert stream == serial, "pipelined stream != serial stream"
-    # decodability gate: headers + the final IDR (self-contained) must
-    # decode to the serial encoder's reconstruction
-    hdr_end = len(genc.headers())
-    last = stream.rfind(b"\x00\x00\x00\x01")
-    got = list(Decoder().decode_annexb(stream[:hdr_end] + stream[last:]))
-    ry, rcb, rcr = enc.reconstructed()
-    assert np.array_equal(got[-1][0], ry), "decode mismatch"
-    assert np.array_equal(got[-1][1], rcb)
-    assert np.array_equal(got[-1][2], rcr)
-    # piggyback metric: host decode throughput over the full stream
+    # decode gate over the FULL stream: every decoded frame must equal
+    # the serial encoder's reconstruction (catches mid-stream stitch
+    # bugs, not just a bad final frame); doubles as the decode metric
     t0 = time.perf_counter()
-    n_dec = sum(1 for _ in Decoder().decode_annexb(stream))
+    n_dec = 0
+    for got, want in zip(Decoder().decode_annexb(stream), recons):
+        assert np.array_equal(got[0], want[0]), f"decode y f{n_dec}"
+        assert np.array_equal(got[1], want[1]), f"decode cb f{n_dec}"
+        assert np.array_equal(got[2], want[2]), f"decode cr f{n_dec}"
+        n_dec += 1
     dec_fps = n_dec / (time.perf_counter() - t0)
+    assert n_dec == len(frames), "decode gate: frame count"
     print(json.dumps({
         "metric": f"decode_{w}x{h}_fps",
         "value": round(dec_fps, 2),
@@ -132,14 +140,17 @@ def run_metric(which: str) -> None:
         from h264_fer_tpu.codec.decoder import Decoder
         from h264_fer_tpu.parallel.gop_device import GopIpppEncoder
 
-        n_frames, gop_len = 8, 8
+        n_frames, gop_len = 16, 8
         frames = _content(n_frames)
         genc = GopIpppEncoder(W, H, QP, gop_len=gop_len,
                               devices=jax.devices()[:1])
         stream = genc.encode_sequence(frames)  # compile + warm
-        t0 = time.perf_counter()
-        stream = genc.encode_sequence(frames)
-        fps = n_frames / (time.perf_counter() - t0)
+        vals = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            stream = genc.encode_sequence(frames)
+            vals.append(n_frames / (time.perf_counter() - t0))
+        fps = sorted(vals)[1]
         # decode gate: the full GOP must round-trip (P frames chain, so
         # decoding the last frame exercises every frame)
         outs = list(Decoder().decode_annexb(stream))
@@ -155,7 +166,7 @@ def run_metric(which: str) -> None:
         fps = _intra_e2e(176, 144, 16)
         name = "e2e_iframe_encode_qcif_fps"
     else:
-        fps = _intra_e2e(W, H, 9)
+        fps = _intra_e2e(W, H, 24)
         name = "e2e_iframe_encode_1080p_fps"
 
     print(json.dumps({

@@ -187,6 +187,19 @@ class Decoder:
         qpy = shd.slice_qp_y(self.pps)
         self.qpy = qpy
 
+        # Native fast path: the whole scalar-sequential slice loop (CAVLC
+        # parse + prediction + reconstruction) in C++
+        # (native/decoder_native.cpp), writing the same state arrays.
+        # Python below remains the semantic reference and the fallback
+        # (H264_TPU_NO_NATIVE=1); tests assert identical planes.
+        from ..native import decode_slice_native
+
+        qpy_native = decode_slice_native(
+            self, u.rbsp, r.bit_position, shd, self._spec_mode)
+        if qpy_native is not None:
+            self.qpy = qpy_native
+            return self._finish_frame(shd)
+
         # P slices: precompute 16-phase interpolated reference planes once
         # per frame (bit-identical to per-window MC; ops/interp.py) — large
         # MVs beyond the padded extent fall back to the window path.
@@ -218,6 +231,9 @@ class Decoder:
                 more_data = r.more_rbsp_data()
                 curr += 1
 
+        return self._finish_frame(shd)
+
+    def _finish_frame(self, shd):
         if (
             self.deblock
             and self.pps.deblocking_filter_control_present_flag

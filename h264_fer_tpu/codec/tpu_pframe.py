@@ -209,7 +209,7 @@ def _blocks_to_mbq(x, wmb: int, hmb: int):
 
 
 def pframe_maps(src_y, planes, prev_mv, wmb: int, hmb: int, window: int,
-                qp: int):
+                qp: int, pallas: bool = True):
     """All bulk ME maps for the decision wavefront, MB-quadrant layout.
 
     src_y: (H, W) int32; planes: interpolated_planes_jax(ref_y, ext) with
@@ -220,7 +220,8 @@ def pframe_maps(src_y, planes, prev_mv, wmb: int, hmb: int, window: int,
     ext = window + 2
     metric_id, lam = me_params(qp)
     S = 2 * window + 1
-    if os.environ.get("H264_FER_TPU_NO_PALLAS"):
+    pallas = pallas and not os.environ.get("H264_FER_TPU_NO_PALLAS")
+    if not pallas:
         im = integer_score_map(src_y, planes[0], ext, window, metric_id)
     else:
         from ..kernels.me_int_pallas import integer_score_map_pallas_impl
@@ -234,7 +235,7 @@ def pframe_maps(src_y, planes, prev_mv, wmb: int, hmb: int, window: int,
     q2ok = (jnp.abs(c2_mbq) <= lim - 3).all(axis=-1)  # (nmb, 4)
     c2_blk = jnp.clip(  # clamp so masked-out gathers stay in bounds
         _mbq_to_blocks(c2_mbq, wmb, hmb), -(lim - 3), lim - 3)
-    if os.environ.get("H264_FER_TPU_NO_PALLAS"):
+    if not pallas:
         q1 = qpel_refine_map(src_y, planes, c1, ext, metric_id)
         q2 = qpel_refine_map(src_y, planes, c2_blk, ext, metric_id)
     else:

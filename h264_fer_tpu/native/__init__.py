@@ -16,6 +16,7 @@ import numpy as np
 
 _HERE = pathlib.Path(__file__).parent
 _SRC = _HERE / "cavlc_native.cpp"
+_SRC_DEC = _HERE / "decoder_native.cpp"
 _SO = _HERE / "_cavlc_native.so"
 
 _lib = None
@@ -23,7 +24,8 @@ _lib = None
 
 def _build() -> None:
     subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-o", str(_SO), str(_SRC)],
+        ["g++", "-O3", "-shared", "-fPIC", "-o", str(_SO), str(_SRC),
+         str(_SRC_DEC)],
         check=True,
         capture_output=True,
     )
@@ -38,7 +40,8 @@ def get_lib():
     if os.environ.get("H264_TPU_NO_NATIVE"):
         return None
     try:
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        newest = max(_SRC.stat().st_mtime, _SRC_DEC.stat().st_mtime)
+        if not _SO.exists() or _SO.stat().st_mtime < newest:
             _build()
         lib = ctypes.CDLL(str(_SO))
     except (OSError, subprocess.CalledProcessError):
@@ -57,6 +60,20 @@ def get_lib():
         i32p, ctypes.c_int, ctypes.c_int,
         i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
         u32p, u8p, ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.decoder_init.restype = None
+    lib.decoder_init.argtypes = [i32p] * 14
+    lib.decode_slice.restype = ctypes.c_long
+    lib.decode_slice.argtypes = [
+        u8p, ctypes.c_long, ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        i32p, i32p,
+        i32p, i32p, i32p,
+        i32p, i32p, i32p,
+        i32p, i32p, i32p, i32p, i32p, i32p,
+        u8p, u8p, i32p,
     ]
     lib.i16_frame_entropy.restype = ctypes.c_long
     lib.i16_frame_entropy.argtypes = [
@@ -180,3 +197,80 @@ def insert_epb_native(rbsp: bytes) -> bytes | None:
     out = np.empty(len(rbsp) + len(rbsp) // 2 + 8, np.uint8)
     n = lib.insert_epb(rbsp, len(rbsp), out)
     return out[:n].tobytes()
+
+
+_dec_init = False
+
+
+def _decoder_tables():
+    from ..ops import cavlc_tables as CT
+    from ..ops import tables as TT
+    from ..ops import transform as TR
+
+    c = lambda a: np.ascontiguousarray(np.asarray(a).reshape(-1), np.int32)
+    return (
+        c(CT.COEFF_TOKEN_LEN), c(CT.COEFF_TOKEN_BITS),
+        c(CT.TOTAL_ZEROS_LEN), c(CT.TOTAL_ZEROS_BITS),
+        c(CT.TOTAL_ZEROS_CDC_LEN), c(CT.TOTAL_ZEROS_CDC_BITS),
+        c(CT.RUN_BEFORE_LEN), c(CT.RUN_BEFORE_BITS),
+        c(TT.CODENUM_TO_CBP_INTRA), c(TT.CODENUM_TO_CBP_INTER),
+        c(TT.INTRA4X4_SCAN_ORDER_XY), c(TT.RASTER_TO_LUMA_BLOCK),
+        c(TR.QPI_TO_QPC), c(TR.ZIGZAG_FLAT),
+    )
+
+
+def decode_slice_native(dec, rbsp: bytes, bit_pos: int, shd, spec_mode: bool):
+    """Native whole-slice decode into the Decoder's state arrays.
+
+    Returns the final qpy, or None when the native lib is unavailable.
+    Raises ValueError on the same fail-fast syntax checks as the Python
+    slice loop (decoder_native.cpp error codes)."""
+    global _dec_init
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not _dec_init:
+        lib.decoder_init(*_decoder_tables())
+        _dec_init = True
+    data = np.frombuffer(rbsp, np.uint8)
+    mbqpd = np.asarray([dec.mb_qp_delta], np.int32)
+    qpy_out = np.zeros(1, np.int32)
+    is_i = shd.slice_type % 5 == 2
+    z32 = np.zeros(1, np.int32)  # placeholder ref for I slices
+    ref_y = dec.ref_y if not is_i else z32
+    ref_cb = dec.ref_cb if not is_i else z32
+    ref_cr = dec.ref_cr if not is_i else z32
+    res = lib.decode_slice(
+        np.ascontiguousarray(data), len(rbsp), bit_pos,
+        shd.slice_type, dec.qpy, dec.wmb, dec.hmb,
+        dec.pps.chroma_qp_index_offset,
+        int(dec.pps.constrained_intra_pred_flag),
+        int(shd.num_ref_idx_active_override_flag),
+        int(dec.pps.num_ref_idx_l0_active),
+        int(shd.num_ref_idx_l0_active_minus1),
+        int(spec_mode),
+        mbqpd, dec.stale_chroma_ac.reshape(-1),
+        dec.y.reshape(-1), dec.cb.reshape(-1), dec.cr.reshape(-1),
+        np.ascontiguousarray(ref_y.reshape(-1)),
+        np.ascontiguousarray(ref_cb.reshape(-1)),
+        np.ascontiguousarray(ref_cr.reshape(-1)),
+        dec.mb_type, dec.tc_luma.reshape(-1), dec.tc_chroma.reshape(-1),
+        dec.i4x4_mode.reshape(-1), dec.mv.reshape(-1), dec.num_parts,
+        dec.mb_intra.view(np.uint8), dec.mb_i4x4.view(np.uint8), qpy_out,
+    )
+    if res < 0:
+        msgs = {
+            -3: "bad mb_type",
+            -4: "I_PCM not supported (matches reference)",
+            -5: "bad intra_chroma_pred_mode",
+            -6: "bad coded_block_pattern codeNum",
+            -7: "bad mb_qp_delta",
+            -8: "bad TotalCoeff",
+            -9: "invalid VLC codeword",
+            -10: "P slice without reference frame",
+        }
+        if res == -4:
+            raise NotImplementedError(msgs[-4])
+        raise ValueError(msgs.get(int(res), f"native decode error {res}"))
+    dec.mb_qp_delta = int(mbqpd[0])
+    return int(qpy_out[0])

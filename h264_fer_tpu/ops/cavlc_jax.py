@@ -268,7 +268,8 @@ def _factor(c: int) -> tuple[int, int]:
     return a, b
 
 
-def pack_symbols(vals, lens, nw: int | None = None, cap: int | None = None):
+def pack_symbols(vals, lens, nw: int | None = None, cap: int | None = None,
+                 preset=None):
     """Pack a flat symbol stream into a uint32 big-endian word array.
 
     vals/lens: (n,) int32, each value in `length` bits (MSB-first, len
@@ -306,9 +307,11 @@ def pack_symbols(vals, lens, nw: int | None = None, cap: int | None = None):
     n = vals.shape[0]
     if nw is None:
         nw = (n * 28) // 32 + 3
-    # preset (group size, chunk size, einsum slicing) per capacity tier;
-    # slices bound the one-hot materialization at 1080p scale (~100 MB)
-    if cap is None:
+    # preset (group size, cap, chunk size, einsum slicing) per capacity
+    # tier; slices bound the one-hot materialization at 1080p scale
+    if preset is not None:
+        group, cap, chunk_groups, slices = preset
+    elif cap is None:
         group, cap, chunk_groups, slices = 16, 16, 256, 16
     elif cap <= 8:
         group, cap, chunk_groups, slices = 64, cap, 256, 2

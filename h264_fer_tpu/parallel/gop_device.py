@@ -74,6 +74,7 @@ class GopIntraEncoder:
         self._frame_impl = (device_mixed_frame_impl if mode == "mixed"
                             else device_i16_frame_impl)
         self._cache = {}
+        self._unpack = _plane_unpacker(width, height)
 
     def _batched(self, nw, cap):
         key = (nw, cap)
@@ -114,11 +115,16 @@ class GopIntraEncoder:
             # frame's program before any readback — uploads, compute and
             # downloads of successive frames overlap instead of paying
             # per-frame tunnel round trips (~120 ms each at 1080p).
+            # BATCHED UPLOADS: the axon tunnel is latency-bound (~30 MB/s
+            # on per-plane puts, ~70 MB/s on ~30-50 MB buffers), so frame
+            # GROUPS ride as one flat packed uint8 buffer each, unpacked
+            # into planes on device (the async-overlap design of IntraCL,
+            # openCL_functions.cpp:221-274, one level up).
             tiers = ((self.nmb * 24, 8), (self.nmb * 192, 24), (None, None))
 
             def dispatch(f, nw, cap):
                 out = self._frame_fn(
-                    jnp.asarray(f[0]), jnp.asarray(f[1]), jnp.asarray(f[2]),
+                    f[0], f[1], f[2],
                     wmb=self.wmb, hmb=self.hmb, qp=self.qp,
                     qpc=self.qpc, nw=nw, cap=cap, deblock=self.deblock)
                 # retain only the payload outputs: holding the full dict
@@ -127,25 +133,56 @@ class GopIntraEncoder:
                 return {"words": out["words"], "meta": out["meta"]}
 
             nw0, cap0 = tiers[0]
-            outs = [dispatch(f, nw0, cap0) for f in frames]
-            words, nbits = [], []
-            for f, out in zip(frames, outs):
-                nb, pok = (int(v) for v in np.asarray(out["meta"]))
+            # interleave: the device queue is in-order, so a put blocks
+            # everything enqueued after it — dispatch group g's programs
+            # BEFORE uploading group g+1 and the transfer hides behind
+            # g's compute (measured: put-then-compute serializes,
+            # compute-then-put overlaps)
+            fsz = self.w * self.h * 3 // 2
+            tgt = max(4 * fsz, min(32 << 20, len(frames) * fsz // 3))
+            k = max(1, min(len(frames), tgt // fsz))
+            groups = [frames[s : s + k] for s in range(0, len(frames), k)]
+            dev = self.devices[0]
+            # pre-pack on host (np concat time would otherwise serialize
+            # between transfers), then interleave put/dispatch
+            packed = [_pack_group(g) for g in groups]
+            dbuf_next = jax.device_put(packed[0], dev)
+            outs = []
+            dframes = []
+            for gi, grp in enumerate(groups):
+                dbuf = dbuf_next
+                planes = [self._unpack(dbuf, j) for j in range(len(grp))]
+                outs += [dispatch(p, nw0, cap0) for p in planes]
+                dframes += planes
+                if gi + 1 < len(groups):
+                    dbuf_next = jax.device_put(packed[gi + 1], dev)
+            frames = dframes
+            # ONE stacked meta readback instead of b tiny RPCs (each tiny
+            # tunnel round trip costs ~25 ms of pure latency)
+            metas = np.array(jnp.stack([o["meta"] for o in outs]))
+            esc = {}
+            for i, f in enumerate(frames):
+                nb, pok = int(metas[i, 0]), int(metas[i, 1])
                 if nb > 32 * nw0 or not pok:  # rare: escalate this frame
                     for nw, cap in tiers[1:]:
                         out = dispatch(f, nw, cap)
                         nb, pok = (int(v) for v in np.asarray(out["meta"]))
                         if (nw is None or nb <= 32 * nw) and pok:
                             break
-                # bucketed readback (see encoder._device_iframe_encode_full):
-                # power-of-two word buckets keep the slice program cached
-                nwords = (nb + 31) // 32
-                step = max(1024, (1 << max(nwords - 1, 1).bit_length()) // 8)
-                bucket = -(-nwords // step) * step
-                words.append(np.asarray(
-                    out["words"][: min(bucket, out["words"].shape[0])]))
-                nbits.append(nb)
-            return words, np.asarray(nbits)
+                    esc[i] = (out, nb)
+                    metas[i, 0] = nb
+            nbits = metas[:, 0].astype(np.int64)
+            # bucketed readback (see encoder._device_iframe_encode_full):
+            # one COMMON power-of-two bucket and one stacked fetch
+            nwords = (int(nbits.max()) + 31) // 32
+            step = max(1024, (1 << max(nwords - 1, 1).bit_length()) // 8)
+            bucket = min(-(-nwords // step) * step, outs[0]["words"].shape[0])
+            wstack = np.asarray(jnp.stack(
+                [o["words"][:bucket] for o in outs]))
+            words = list(wstack)
+            for i, (out, nb) in esc.items():
+                words[i] = np.asarray(out["words"])
+            return words, nbits
         pad = (-b) % n_dev  # shard evenly; padded frames are discarded
         ys = np.stack([f[0] for f in frames]
                       + [frames[-1][0]] * pad).astype(np.uint8)
@@ -188,6 +225,50 @@ class GopIntraEncoder:
         w.append_bits(words_to_bytes(frame_words, nbits), nbits)
         w.rbsp_trailing_bits()
         return nal_mod.write_nal_unit(1, nal_mod.NAL_IDR, w.getvalue())
+
+
+def _grow(a: np.ndarray, n: int) -> np.ndarray:
+    """Zero-extend the last axis of a to length n (escalated-GOP merge)."""
+    if a.shape[-1] >= n:
+        return a
+    pad = [(0, 0)] * (a.ndim - 1) + [(0, n - a.shape[-1])]
+    return np.pad(a, pad)
+
+
+def _plane_unpacker(width: int, height: int, T: int = 1):
+    """Jitted device-side unpack of one packed uint8 frame-group row."""
+    ysz = width * height
+    csz = ysz // 4
+    fsz = ysz + 2 * csz
+
+    @jax.jit
+    def unpack(buf, j):
+        row = jax.lax.dynamic_slice(buf, (j * fsz,), (fsz,))
+        if T == 1:
+            y = row[:ysz].reshape(height, width)
+            cb = row[ysz : ysz + csz].reshape(height // 2, width // 2)
+            cr = row[ysz + csz :].reshape(height // 2, width // 2)
+            return y, cb, cr
+        return row  # unused
+
+    @jax.jit
+    def unpack_gop(buf):
+        # (T*fsz,) -> per-frame plane stacks for the whole-GOP program
+        g = buf.reshape(T, fsz)
+        y = g[:, :ysz].reshape(T, height, width)
+        cb = g[:, ysz : ysz + csz].reshape(T, height // 2, width // 2)
+        cr = g[:, ysz + csz :].reshape(T, height // 2, width // 2)
+        return y, cb, cr
+
+    return unpack if T == 1 else unpack_gop
+
+
+def _pack_group(frames) -> np.ndarray:
+    return np.concatenate(
+        [np.concatenate([np.asarray(f[0], np.uint8).ravel(),
+                         np.asarray(f[1], np.uint8).ravel(),
+                         np.asarray(f[2], np.uint8).ravel()])
+         for f in frames])
 
 
 class GopIpppEncoder:
@@ -304,30 +385,72 @@ class GopIpppEncoder:
         tiers = ((self.nmb * 24, 8), (self.nmb * 192, 24), (None, None))
         ys, cbs, crs = gops
         if n_dev == 1:
-            # pipelined: dispatch every GOP's program before any readback
+            # pipelined: dispatch every GOP's program before any readback;
+            # each GOP's planes ride the tunnel as ONE packed uint8 buffer
+            # (latency-bound link — see GopIntraEncoder) unpacked on device
+            T = ys.shape[1]
+            unpack = _plane_unpacker(self.w, self.h, T)
             nw0, cap0 = tiers[0]
             fn = self._gop_fn(nw0, cap0)
             keep = ("words_i", "meta_i", "words_p", "meta_p")
             # retain only payload outputs: the full dict would pin every
-            # GOP's recon planes in device memory until readback (ADVICE)
-            outs = [{k: o[k] for k in keep} for o in
-                    (fn(jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
-                        hdr_bits) for y, cb, cr in zip(ys, cbs, crs))]
-            res = []
-            for g, out in enumerate(outs):
-                if not self._meta_ok(out["meta_i"], out["meta_p"], nw0):
+            # GOP's recon planes in device memory until readback (ADVICE).
+            # Interleaved like GopIntraEncoder: dispatch GOP g's program
+            # before uploading GOP g+1 so the packed transfer hides
+            # behind g's compute (the queue is in-order).
+            n_gop = len(ys)
+            dev = self.devices[0]
+
+            def put(g):
+                buf = _pack_group(
+                    [(ys[g][j], cbs[g][j], crs[g][j]) for j in range(T)])
+                return jax.device_put(buf, dev)
+
+            dbuf_next = put(0)
+            dgops = []
+            outs = []
+            for g in range(n_gop):
+                y, cb, cr = unpack(dbuf_next)
+                dgops.append((y, cb, cr))
+                o = fn(y, cb, cr, hdr_bits)
+                outs.append({k: o[k] for k in keep})
+                if g + 1 < n_gop:
+                    dbuf_next = put(g + 1)
+            # stacked meta readbacks (2 RPCs for the whole sequence), then
+            # ONE common-bucket stacked words fetch — per-GOP full-width
+            # words_p readbacks were ~22 MB/GOP of tunnel time
+            mi = np.array(jnp.stack([o["meta_i"] for o in outs]))
+            mp = np.array(jnp.stack([o["meta_p"] for o in outs]))
+            esc = {}
+            for g in range(n_gop):
+                if not self._meta_ok(mi[g], mp[g], nw0):
                     for nw, cap in tiers[1:]:  # rare: escalate this GOP
                         out = self._gop_fn(nw, cap)(
-                            jnp.asarray(ys[g]), jnp.asarray(cbs[g]),
-                            jnp.asarray(crs[g]), hdr_bits)
+                            dgops[g][0], dgops[g][1], dgops[g][2], hdr_bits)
                         if self._meta_ok(out["meta_i"], out["meta_p"], nw):
                             break
-                res.append(tuple(np.asarray(out[k]) for k in
-                           ("words_i", "meta_i", "words_p", "meta_p")))
-            return (np.stack([r[0] for r in res]),
-                    np.stack([r[1] for r in res]),
-                    np.stack([r[2] for r in res]),
-                    np.stack([r[3] for r in res]))
+                    esc[g] = {k: np.asarray(out[k]) for k in keep}
+                    mi[g] = esc[g]["meta_i"]
+                    mp[g] = esc[g]["meta_p"]
+            nb_max = max(int(mi[:, 0].max()), int(mp[:, :, 0].max()))
+            nwords = (nb_max + 31) // 32
+            step = max(1024, (1 << max(nwords - 1, 1).bit_length()) // 8)
+            bucket = min(-(-nwords // step) * step,
+                         outs[0]["words_i"].shape[0])
+            wi = np.asarray(jnp.stack(
+                [o["words_i"][:bucket] for o in outs]))
+            wp = np.asarray(jnp.stack(
+                [o["words_p"][:, :bucket] for o in outs]))
+            if esc:
+                full = max([wi.shape[-1]]
+                           + [e["words_i"].shape[0] for e in esc.values()]
+                           + [e["words_p"].shape[1] for e in esc.values()])
+                wi = _grow(wi, full)
+                wp = _grow(wp, full)
+                for g, e in esc.items():
+                    wi[g, : e["words_i"].shape[0]] = e["words_i"]
+                    wp[g, :, : e["words_p"].shape[1]] = e["words_p"]
+            return wi, mi, wp, mp
         ysj = jnp.asarray(np.stack(ys))
         cbsj = jnp.asarray(np.stack(cbs))
         crsj = jnp.asarray(np.stack(crs))

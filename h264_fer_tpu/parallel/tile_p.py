@@ -133,7 +133,11 @@ def _make_p_band(wmb: int, hmb: int, hloc: int, n_tile: int, window: int,
             ((0, 0), (ext_c + 1, ext_c + 1)), mode="edge")
 
         # ---- bulk maps + banded decision wavefront ---------------------
-        maps = pframe_maps(src_y, planes, prev_mv, wmb, hloc, window, qp)
+        # XLA map forms: Pallas kernels under shard_map would need vma
+        # annotations (and per-band strips); the banded path keeps the
+        # fused-XLA maps like the banded decide wavefront
+        maps = pframe_maps(src_y, planes, prev_mv, wmb, hloc, window, qp,
+                           pallas=False)
         maxdiff = adaptive_maxdiff(src_y, wmb, hloc, cfg_maxdiff)
         dec = pframe_decide_impl(
             src_y, planes, maps["int_map"], maps["c1mv"], maps["q1map"],
