@@ -83,12 +83,16 @@ def encode_multihost(frames, width: int, height: int, qp: int,
     spans = gop_spans(len(frames), gop_len if gop_len > 1 else 1, nproc)
     lo, hi = spans[pid]
     if gop_len <= 1:
+        # idr_pic_id runs globally across the process spans (the serial
+        # encoder's consecutive-IDR counter, encoder._encode_slice)
         enc = GopIntraEncoder(width, height, qp, mode=mode,
                               devices=jax.local_devices())
+        local = (enc.encode_sequence(frames[lo:hi], idr_base=lo)
+                 if hi > lo else b"")
     else:
         enc = GopIpppEncoder(width, height, qp, gop_len=gop_len,
                              devices=jax.local_devices())
-    local = enc.encode_sequence(frames[lo:hi]) if hi > lo else b""
+        local = enc.encode_sequence(frames[lo:hi]) if hi > lo else b""
     # strip the SPS/PPS header from every process's stream; process 0
     # re-emits it once at the front
     hdr = enc.headers()

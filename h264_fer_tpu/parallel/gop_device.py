@@ -201,13 +201,17 @@ class GopIntraEncoder:
                 break
         return np.asarray(words)[:b], nbits_h[:b]
 
-    def encode_sequence(self, frames) -> bytes:
+    def encode_sequence(self, frames, idr_base: int = 0) -> bytes:
         """frames: list of (y, cb, cr) uint8 planes. Returns the full
-        Annex-B stream, byte-identical to the serial device-path encoder."""
+        Annex-B stream, byte-identical to the serial device-path encoder.
+
+        idr_base: global index of frames[0] in a multi-host split
+        (parallel/dist.py) — idr_pic_id runs globally across spans."""
         words, nbits = self._device_payloads(frames)
         out = bytearray(self.headers())
         for i in range(len(frames)):
-            out += self._stitch_nal(words[i], int(nbits[i]), idr_pic_id=i)
+            out += self._stitch_nal(words[i], int(nbits[i]),
+                                    idr_pic_id=idr_base + i)
         return bytes(out)
 
     def _stitch_nal(self, frame_words: np.ndarray, nbits: int,
