@@ -128,9 +128,9 @@ def mc_bulk_pallas_impl(planes, cb_pad, cr_pad, mv, ext: int, ext_c: int,
         in_specs=[
             pl.BlockSpec((8, wmb * 8), lambda r: (r // 8, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((1, wmb, 4, 8, 8), lambda r: (r, 0, 0, 0, 0),

@@ -100,7 +100,7 @@ def integer_score_map_pallas_impl(src_y, plane0, ext: int, window: int,
         in_specs=[
             pl.BlockSpec((1, 8, wp), lambda r, dy: (r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, S, wp), lambda r, dy: (r, dy, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -58,47 +58,75 @@ def _refine_kernel(wb: int, window: int, ext: int, radius: int,
     K2 = K * K
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, K2), 1)
 
+    def rolled_slab(f, ry, rx):
+        # Mosaic only loads at aligned offsets (sublanes %8, lanes %128):
+        # fetch the aligned (16, 256) superset slab and rotate the window
+        # origin to (0, 0) (tpu dynamic rotates want 32-bit data)
+        ry0 = pl.multiple_of((ry // 8) * 8, 8)
+        rx0 = pl.multiple_of((rx // 128) * 128, 128)
+        slab = strip[slot, f, pl.ds(ry0, 16),
+                     pl.ds(rx0, 256)].astype(jnp.int32)
+        rotr = (16 - (ry & 7)) & 15
+        rotc = (256 - (rx & 127)) & 255
+        try:
+            slab = pltpu.roll(slab, shift=rotc, axis=1)
+            slab = pltpu.roll(slab, shift=rotr, axis=0)
+        except Exception:  # interpret mode
+            slab = jnp.roll(slab, rotc, axis=1)
+            slab = jnp.roll(slab, rotr, axis=0)
+        return slab
+
+    def metric_sum(d):
+        if metric_id == 0:
+            return jnp.abs(d).sum()
+        if metric_id == 1:
+            return (d * d).sum()
+        return 2 * (d * d).sum()
+
+    # offsets hitting phase (dy & 3): frac-0 centers make the integer
+    # sub-offset per candidate STATIC (negative qpel -> floor to -1)
+    phase_dys = [[d for d in range(-radius, radius + 1) if (d & 3) == g]
+                 for g in range(4)]
+
     def block_body(b, carry):
         sb = src_ref[0, b].astype(jnp.int32)  # (8, 8)
-        for cref, oref in ((c1_ref, q1_ref), (c2_ref, q2_ref)):
-            cx = cref[cr, 2 * b]
-            cy = cref[cr, 2 * b + 1]
-            # scalar stores to VMEM are illegal: build the 49-SAD row as
-            # a vector via per-offset masked selects, one store per row
-            row = jnp.zeros((1, K2), jnp.int32)
-            for dy in range(-radius, radius + 1):
-                for dx in range(-radius, radius + 1):
-                    mvx = cx + dx
-                    mvy = cy + dy
-                    f = (mvy & 3) * 4 + (mvx & 3)
-                    ry = (mvy >> 2) + ext
-                    rx = 8 * b + (mvx >> 2) + ext
-                    # Mosaic only loads at aligned offsets (sublanes %8,
-                    # lanes %128): fetch the aligned (16, 256) superset
-                    # slab and rotate the window to the origin (tpu
-                    # dynamic rotates)
-                    ry0 = pl.multiple_of((ry // 8) * 8, 8)
-                    rx0 = pl.multiple_of((rx // 128) * 128, 128)
-                    slab = strip[slot, f, pl.ds(ry0, 16),
-                                 pl.ds(rx0, 256)].astype(jnp.int32)
-                    rotr = (16 - (ry & 7)) & 15
-                    rotc = (256 - (rx & 127)) & 255
-                    try:  # dynamic rotate wants 32-bit data
-                        win = pltpu.roll(slab, shift=rotc, axis=1)
-                        win = pltpu.roll(win, shift=rotr, axis=0)
-                    except Exception:  # interpret mode
-                        win = jnp.roll(slab, rotc, axis=1)
-                        win = jnp.roll(win, rotr, axis=0)
-                    d = win[:8, :8] - sb
-                    if metric_id == 0:
-                        v = jnp.abs(d).sum()
-                    elif metric_id == 1:
-                        v = (d * d).sum()
-                    else:
-                        v = 2 * (d * d).sum()
-                    k = (dy + radius) * K + (dx + radius)
-                    row = jnp.where(lane == k, v, row)
-            oref[0, pl.ds(b, 1), :] = row
+
+        # --- center 1: integer-argmin center, always frac 0 — group the
+        # 49 offsets by phase: ONE rotated slab per phase covers its
+        # <=2x2 integer sub-offsets as static slices (16 loads vs 49)
+        c1x = c1_ref[cr, 2 * b]
+        c1y = c1_ref[cr, 2 * b + 1]
+        bx = (c1x >> 2) - 1 + 8 * b + ext  # top-left of the 2x2 int span
+        by = (c1y >> 2) - 1 + ext
+        row = jnp.zeros((1, K2), jnp.int32)
+        for gy in range(4):
+            for gx in range(4):
+                f = gy * 4 + gx
+                slab = rolled_slab(f, by, bx)
+                for dy in phase_dys[gy]:
+                    oy = 0 if dy < 0 else 1
+                    for dx in phase_dys[gx]:
+                        ox = 0 if dx < 0 else 1
+                        d = slab[oy : oy + 8, ox : ox + 8] - sb
+                        k = (dy + radius) * K + (dx + radius)
+                        row = jnp.where(lane == k, metric_sum(d), row)
+        q1_ref[0, pl.ds(b, 1), :] = row
+
+        # --- center 2: temporal center, arbitrary frac — per-offset slabs
+        c2x = c2_ref[cr, 2 * b]
+        c2y = c2_ref[cr, 2 * b + 1]
+        row = jnp.zeros((1, K2), jnp.int32)
+        for dy in range(-radius, radius + 1):
+            for dx in range(-radius, radius + 1):
+                mvx = c2x + dx
+                mvy = c2y + dy
+                f = (mvy & 3) * 4 + (mvx & 3)
+                slab = rolled_slab(f, (mvy >> 2) + ext,
+                                   8 * b + (mvx >> 2) + ext)
+                d = slab[:8, :8] - sb
+                k = (dy + radius) * K + (dx + radius)
+                row = jnp.where(lane == k, metric_sum(d), row)
+        q2_ref[0, pl.ds(b, 1), :] = row
         return carry
 
     jax.lax.fori_loop(0, wb, block_body, 0)
@@ -151,7 +179,7 @@ def qpel_refine_pallas_impl(src_y, planes, c1, c2, window: int, ext: int,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, wb, 8, 8), lambda r: (r, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((1, wb, K2), lambda r: (r, 0, 0),

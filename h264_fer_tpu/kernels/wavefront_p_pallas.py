@@ -445,7 +445,7 @@ def pframe_decide_pallas_impl(src_y, planes, int_map, c1mv, q1map, c2mv,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, hband, 8), lambda b, d: (b, d, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, hband, 20),
                                lambda b, d: (b, d, 0, 0),
