@@ -126,12 +126,13 @@ def run_metric(which: str) -> None:
         out = device_i16_frame(y, cb, cr, wmb=W // 16, hmb=H // 16,
                                qp=QP, qpc=26, nw=nw)
         assert int(out["nbits"]) <= 32 * nw  # compile + full execution
-        n = 10
+        # amortized: a per-dispatch sync pays the ~25 ms tunnel RPC
+        # latency per reading (PROFILE_r05.md) — dispatch N, sync once
+        n = 16
         t0 = time.perf_counter()
-        for _ in range(n):
-            out = device_i16_frame(y, cb, cr, wmb=W // 16, hmb=H // 16,
-                                   qp=QP, qpc=26, nw=nw)
-            int(out["nbits"])  # true sync: scalar readback
+        outs = [device_i16_frame(y, cb, cr, wmb=W // 16, hmb=H // 16,
+                                 qp=QP, qpc=26, nw=nw) for _ in range(n)]
+        int(outs[-1]["nbits"])  # scalar readback drains the queue
         fps = n / (time.perf_counter() - t0)
         name = "device_iframe_encode_1080p_fps_per_chip"
     elif which == "ippp":

@@ -76,7 +76,7 @@ def test_inter_rd_full_grid(full_grid_points, qp):
 
 
 def test_inter_bd_rate_full_grid(full_grid_points):
-    from .test_rd import bd_rate
+    from test_rd import bd_rate
 
     ref_pts = [(v[2]["bytes"], v[2]["psnr"])
                for v in full_grid_points.values()]
