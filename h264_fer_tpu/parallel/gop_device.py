@@ -138,24 +138,33 @@ class GopIntraEncoder:
             # BEFORE uploading group g+1 and the transfer hides behind
             # g's compute (measured: put-then-compute serializes,
             # compute-then-put overlaps)
-            fsz = self.w * self.h * 3 // 2
-            tgt = max(4 * fsz, min(32 << 20, len(frames) * fsz // 3))
-            k = max(1, min(len(frames), tgt // fsz))
-            groups = [frames[s : s + k] for s in range(0, len(frames), k)]
-            dev = self.devices[0]
-            # pre-pack on host (np concat time would otherwise serialize
-            # between transfers), then interleave put/dispatch
-            packed = [_pack_group(g) for g in groups]
-            dbuf_next = jax.device_put(packed[0], dev)
-            outs = []
-            dframes = []
-            for gi, grp in enumerate(groups):
-                dbuf = dbuf_next
-                planes = [self._unpack(dbuf, j) for j in range(len(grp))]
-                outs += [dispatch(p, nw0, cap0) for p in planes]
-                dframes += planes
-                if gi + 1 < len(groups):
-                    dbuf_next = jax.device_put(packed[gi + 1], dev)
+            if self.devices[0].platform != "tpu":
+                # CPU/virtual devices: transfers are free, packing is not
+                dframes = [tuple(jnp.asarray(np.asarray(p, np.uint8))
+                                 for p in f) for f in frames]
+                outs = [dispatch(f, nw0, cap0) for f in dframes]
+            else:
+                fsz = self.w * self.h * 3 // 2
+                tgt = max(4 * fsz, min(32 << 20, len(frames) * fsz // 3))
+                k = max(1, min(len(frames), tgt // fsz))
+                groups = [frames[s : s + k]
+                          for s in range(0, len(frames), k)]
+                dev = self.devices[0]
+                # pre-pack on host (np concat time would otherwise
+                # serialize between transfers), then interleave
+                # put/dispatch
+                packed = [_pack_group(g) for g in groups]
+                dbuf_next = jax.device_put(packed[0], dev)
+                outs = []
+                dframes = []
+                for gi, grp in enumerate(groups):
+                    dbuf = dbuf_next
+                    planes = [self._unpack(dbuf, j)
+                              for j in range(len(grp))]
+                    outs += [dispatch(p, nw0, cap0) for p in planes]
+                    dframes += planes
+                    if gi + 1 < len(groups):
+                        dbuf_next = jax.device_put(packed[gi + 1], dev)
             frames = dframes
             # ONE stacked meta readback instead of b tiny RPCs (each tiny
             # tunnel round trip costs ~25 ms of pure latency)
@@ -405,7 +414,12 @@ class GopIpppEncoder:
             n_gop = len(ys)
             dev = self.devices[0]
 
+            on_tpu = dev.platform == "tpu"
+
             def put(g):
+                if not on_tpu:  # CPU: transfers are free, packing is not
+                    return tuple(jnp.asarray(np.asarray(p, np.uint8))
+                                 for p in (ys[g], cbs[g], crs[g]))
                 buf = _pack_group(
                     [(ys[g][j], cbs[g][j], crs[g][j]) for j in range(T)])
                 return jax.device_put(buf, dev)
@@ -414,7 +428,8 @@ class GopIpppEncoder:
             dgops = []
             outs = []
             for g in range(n_gop):
-                y, cb, cr = unpack(dbuf_next)
+                y, cb, cr = (dbuf_next if not on_tpu
+                             else unpack(dbuf_next))
                 dgops.append((y, cb, cr))
                 o = fn(y, cb, cr, hdr_bits)
                 outs.append({k: o[k] for k in keep})
