@@ -112,20 +112,39 @@ def _refine_kernel(wb: int, window: int, ext: int, radius: int,
                         row = jnp.where(lane == k, metric_sum(d), row)
         q1_ref[0, pl.ds(b, 1), :] = row
 
-        # --- center 2: temporal center, arbitrary frac — per-offset slabs
+        assert radius == 3, "c2 phase grouping assumes the +/-3 window"
+        # --- center 2: temporal center, arbitrary frac — phase-grouped
+        # with RUNTIME offset mapping: for phase g the offsets are
+        # dy in {m-4, m} with m = (g - frac) & 3, whose integer parts are
+        # consecutive, so one slab per phase again covers a 2x2 static
+        # sub-window span. Out-of-range candidates (m == 0 -> dy = -4)
+        # get a negative k and their lane select never fires.
         c2x = c2_ref[cr, 2 * b]
         c2y = c2_ref[cr, 2 * b + 1]
+        fy = c2y & 3
+        fx = c2x & 3
         row = jnp.zeros((1, K2), jnp.int32)
-        for dy in range(-radius, radius + 1):
-            for dx in range(-radius, radius + 1):
-                mvx = c2x + dx
-                mvy = c2y + dy
-                f = (mvy & 3) * 4 + (mvx & 3)
-                slab = rolled_slab(f, (mvy >> 2) + ext,
-                                   8 * b + (mvx >> 2) + ext)
-                d = slab[:8, :8] - sb
-                k = (dy + radius) * K + (dx + radius)
-                row = jnp.where(lane == k, metric_sum(d), row)
+        for gy in range(4):
+            my = (gy - fy) & 3
+            by2 = ((c2y + my) >> 2) - 1
+            for gx in range(4):
+                mx = (gx - fx) & 3
+                bx2 = ((c2x + mx) >> 2) - 1
+                f = gy * 4 + gx
+                slab = rolled_slab(f, by2 + ext, 8 * b + bx2 + ext)
+                for oy in range(2):
+                    dy = my + 4 * (oy - 1)
+                    for ox in range(2):
+                        dx = mx + 4 * (ox - 1)
+                        d = slab[oy : oy + 8, ox : ox + 8] - sb
+                        k = (dy + radius) * K + (dx + radius)
+                        # m == 0 phantoms (dy or dx = -4) must be masked
+                        # EXPLICITLY: dx = -4 makes k = K*(dy+r) - 1,
+                        # which collides with a real offset of the row
+                        # above whenever dy > -r
+                        k = jnp.where((dy >= -radius) & (dx >= -radius),
+                                      k, -1)
+                        row = jnp.where(lane == k, metric_sum(d), row)
         q2_ref[0, pl.ds(b, 1), :] = row
         return carry
 
