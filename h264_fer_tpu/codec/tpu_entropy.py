@@ -185,16 +185,28 @@ def chroma_setup(cdc, cac, wmb: int, hmb: int, top_ctx=None):
 def mixed_slice_entropy_impl(choice4, mode16, cmode, i16dc, i16ac, lv4,
                              prev_flags, rem_modes, cbp_luma, tc_luma,
                              cdc, cac, wmb: int, hmb: int,
-                             nw: int | None = None, cap: int | None = None):
+                             nw: int | None = None, cap: int | None = None,
+                             top_ctx=None, valid=None):
     """Whole-slice macroblock_layer bits for a mixed I4x4/I16 frame.
 
     choice4/cbp_luma/tc_luma/prev_flags/rem_modes come from the
     arbitration wavefront (kernels/wavefront_mixed.py); level arrays hold
     both candidates' levels (the winner is selected here by `choice4`).
     Returns the same dict shape as i16_slice_entropy.
+
+    top_ctx / valid: cross-tile nC context and uneven-band MB gating for
+    MB-row-band sharding — the i16_slice_entropy contract: top_ctx is
+    (top_tc_luma (wmb, 16), top_cbp_luma (wmb,), top_tc_chroma
+    (2, wmb, 4), top_cbp_chroma (wmb,), top_valid).
     """
     nmb = wmb * hmb
-    ch = chroma_setup(cdc, cac, wmb, hmb)
+    if top_ctx is not None:
+        t_tc_l, t_cbp_l, t_tc_c, t_cbp_c, t_valid = top_ctx
+        luma_top = (t_tc_l, t_cbp_l, t_valid)
+        chroma_top = (t_tc_c, t_cbp_c, t_valid)
+    else:
+        luma_top = chroma_top = None
+    ch = chroma_setup(cdc, cac, wmb, hmb, top_ctx=chroma_top)
     cbp_c = ch["cbp_chroma"]
     mbtype16 = 1 + mode16 + 4 * cbp_c + jnp.where(cbp_luma == 15, 12, 0)
     mb_type = jnp.where(choice4, 0, mbtype16)
@@ -203,7 +215,8 @@ def mixed_slice_entropy_impl(choice4, mode16, cmode, i16dc, i16ac, lv4,
     dc_blk = block_symbols_bulk(i16dc, 16)
     ac_blk = block_symbols_bulk(i16ac, 15)
     l4_blk = block_symbols_bulk(lv4, 16)
-    nc_l = _nc_luma_grid(tc_luma, tc_luma, cbp_luma, cbp_luma, wmb, hmb)
+    nc_l = _nc_luma_grid(tc_luma, tc_luma, cbp_luma, cbp_luma, wmb, hmb,
+                         top_ctx=luma_top)
     dc_vals, dc_lens = finalize_symbols(dc_blk, nc_to_ctx(nc_l[:, 0]))
     ac_vals, ac_lens = finalize_symbols(ac_blk, nc_to_ctx(nc_l))
     l4_vals, l4_lens = finalize_symbols(l4_blk, nc_to_ctx(nc_l))
@@ -251,6 +264,8 @@ def mixed_slice_entropy_impl(choice4, mode16, cmode, i16dc, i16ac, lv4,
         jnp.moveaxis(ch["cdc_lens"], 1, 0).reshape(nmb, -1),
         jnp.moveaxis(ch["cac_lens"], 1, 0).reshape(nmb, -1),
     ], axis=-1)
+    if valid is not None:
+        lens = jnp.where(valid[:, None], lens, 0)
     words, nbits, pack_ok = pack_symbols(
         vals.reshape(-1), lens.reshape(-1), nw=nw, cap=cap)
 

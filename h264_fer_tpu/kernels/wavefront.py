@@ -220,15 +220,30 @@ def wavefront_i4x4_luma(y_src, modes, wmb: int, hmb: int, qp: int):
 
 
 def wavefront_chroma_impl(cb_src, cr_src, modes, wmb: int, hmb: int,
-                          qp: int):
+                          qp: int, band=None):
     """Reconstruct intra chroma for a frame (all MBs intra, per-MB modes).
 
     cb_src/cr_src: (H/2, W/2) int32; modes: (nmb,) chroma modes; qp is the
     CHROMA QP. MB-diagonal wavefront (left/top/corner deps only).
     Returns (cb, cr, dc (2, nmb, 4), ac (2, nmb, 4, 15)).
+
+    band: optional (axis_name, n_tile, hmb_total, vary_axes) for MB-row
+    band tile sharding — hmb is then the LOCAL row count, the wavefront
+    runs the GLOBAL schedule, and the band above's reconstructed bottom
+    chroma rows arrive via a per-wave ppermute halo (the chroma analog of
+    parallel/tile.py's banded I16 exchange, margin exactly 1).
     """
     nmb = wmb * hmb
-    ndiag = hmb + wmb - 1
+    if band is not None:
+        axis, n_tile, hmb_total, vary_axes = band
+        t_idx = jax.lax.axis_index(axis)
+        row0 = t_idx * hmb
+        has_top = t_idx > 0
+        perm = [(i, i + 1) for i in range(n_tile - 1)]
+    else:
+        hmb_total = hmb
+        row0 = 0
+    ndiag = hmb_total + wmb - 1
     # slots are ABSOLUTE MB rows: must cover every row (a diagonal in a
     # tall grid reaches rows >= min(hmb, wmb))
     dmax = hmb
@@ -251,27 +266,39 @@ def wavefront_chroma_impl(cb_src, cr_src, modes, wmb: int, hmb: int,
         return b.reshape(*blocks.shape[:-3], 8, 8)
 
     def step(d, carry):
-        recon, dc_out, ac_out = carry  # recon: (2, hmb+1, wmb, 8, 8)
+        recon, dc_out, ac_out, halo_c = carry  # recon: (2, hmb+1, wmb, 8, 8)
         rs = slot
-        cs = d - slot
+        cs = d - row0 - slot
         valid = (rs < hmb) & (cs >= 0) & (cs < wmb)
         rc = jnp.where(valid, rs, 0)
         cc = jnp.where(valid, cs, 0)
         rw = jnp.where(valid, rs, hmb)
 
         left_ok = (cc > 0) & valid
-        top_ok = (rc > 0) & valid
+        top_in = (rc > 0) & valid
+        if band is not None:
+            top_halo = (rc == 0) & has_top & valid
+        else:
+            top_halo = jnp.zeros_like(top_in)
+        top_ok = top_in | top_halo
         corner_ok = left_ok & top_ok
         rm1 = jnp.maximum(rc - 1, 0)
         cm1 = jnp.maximum(cc - 1, 0)
         # advanced-indexing axis order: contiguous advanced blocks stay in
         # place ((2, dmax, ...)); the slice-interrupted lcol gather moves
         # them to the front and needs a moveaxis
-        corner = jnp.where(corner_ok[None, :], recon[:, rm1, cm1, 7, 7], -1)
+        corner_in = recon[:, rm1, cm1, 7, 7]
+        trow_in = recon[:, rm1, cc, 7, :]
+        if band is not None:
+            corner_in = jnp.where(top_in[None], corner_in,
+                                  halo_c[:, cm1, 7])
+            trow_in = jnp.where(top_in[None, :, None], trow_in,
+                                halo_c[:, cc])
+        corner = jnp.where(corner_ok[None, :], corner_in, -1)
         lcol = jnp.where(
             left_ok[None, :, None], jnp.moveaxis(recon[:, rc, cm1, :, 7], 0, 1), -1
         )
-        trow = jnp.where(top_ok[None, :, None], recon[:, rm1, cc, 7, :], -1)
+        trow = jnp.where(top_ok[None, :, None], trow_in, -1)
         p17 = jnp.concatenate([corner[..., None], lcol, trow], axis=-1)
 
         m = modes_grid[rc, cc]
@@ -300,12 +327,32 @@ def wavefront_chroma_impl(cb_src, cr_src, modes, wmb: int, hmb: int,
         idx = jnp.where(valid, rc * wmb + cc, nmb)
         dc_out = dc_out.at[:, idx].set(qdc.reshape(2, dmax, 4))
         ac_out = ac_out.at[:, idx].set(ac_list)
-        return recon, dc_out, ac_out
+        if band is not None:
+            # boundary exchange: this wave's bottom-row reconstructed
+            # chroma rows go to tile t+1, whose matching read is one
+            # wave later (parallel/tile.py timing)
+            seg_c = out_mb[:, hmb - 1, 7, :]  # (2, 8)
+            seg_c = jax.lax.ppermute(seg_c, axis, perm)
+            icol = d - row0 + 1
+            ivalid = (icol >= 0) & (icol < wmb) & has_top
+            ic = jnp.clip(icol, 0, wmb - 1)
+            halo_c = halo_c.at[:, ic].set(
+                jnp.where(ivalid, seg_c, halo_c[:, ic]))
+        return recon, dc_out, ac_out, halo_c
 
     recon0 = jnp.zeros((2, hmb + 1, wmb, 8, 8), jnp.int32)
     dc0 = jnp.zeros((2, nmb + 1, 4), jnp.int32)
     ac0 = jnp.zeros((2, nmb + 1, 4, 15), jnp.int32)
-    recon, dc_out, ac_out = jax.lax.fori_loop(0, ndiag, step, (recon0, dc0, ac0))
+    halo0 = jnp.zeros((2, wmb, 8), jnp.int32)
+    carry0 = (recon0, dc0, ac0, halo0)
+    if band is not None:
+        axes = tuple(vary_axes) or (axis,)
+        if hasattr(jax.lax, "pcast"):
+            cast = lambda x: jax.lax.pcast(x, axes, to="varying")  # noqa: E731
+        else:  # pragma: no cover — older jax
+            cast = lambda x: jax.lax.pvary(x, axes)  # noqa: E731
+        carry0 = jax.tree_util.tree_map(cast, carry0)
+    recon, dc_out, ac_out, _ = jax.lax.fori_loop(0, ndiag, step, carry0)
 
     def from_grid(g):
         return g[:hmb].transpose(0, 2, 1, 3).reshape(hmb * 8, wmb * 8)

@@ -52,16 +52,37 @@ def _gated_tc(tc, cbp, blk: int):
 
 
 def wavefront_mixed_luma_impl(y_src, mode16, mode4, cmode, cbp_c,
-                              chroma_bits, wmb: int, hmb: int, qp: int):
+                              chroma_bits, wmb: int, hmb: int, qp: int,
+                              band=None, m4_halo=None):
     """Returns dict with the winner reconstruction + levels + syntax state.
 
     y_src: (H, W) int32; mode16 (nmb,), mode4 (nmb, 16) pre-decided modes;
     cmode (nmb,) chroma modes; cbp_c (nmb,) coded-block-pattern chroma;
     chroma_bits (nmb,) exact chroma residual bits (0 when cbp_c == 0).
+
+    band: optional (axis_name, n_tile, hmb_total, vary_axes) for MB-row
+    band tile sharding — hmb is then the LOCAL row count, the knight
+    wavefront runs the GLOBAL schedule, and the band above's final
+    bottom-row state (reconstructed pixel row, I4-vs-I16 choice,
+    TotalCoeff, CBP) arrives via a per-wave ppermute halo with margin 1
+    (d = 2r + c puts the consumer exactly one wave after the sender,
+    like kernels/wavefront_p.py's band mode). m4_halo: (wmb, 16) the
+    band above's last-row pre-decided I4x4 modes (static input — modes
+    are inputs, so one pre-wavefront exchange suffices).
     """
     nmb = wmb * hmb
-    nwave = 2 * (hmb - 1) + wmb
-    smax = min(hmb, wmb // 2 + 1)
+    if band is not None:
+        axis, n_tile, hmb_total, vary_axes = band
+        t_idx = jax.lax.axis_index(axis)
+        row0 = t_idx * hmb
+        has_top = t_idx > 0
+        perm = [(i, i + 1) for i in range(n_tile - 1)]
+        nwave = 2 * (hmb_total - 1) + wmb
+        smax = hmb
+    else:
+        row0 = 0
+        nwave = 2 * (hmb - 1) + wmb
+        smax = min(hmb, wmb // 2 + 1)
 
     src_grid = y_src.reshape(hmb, 16, wmb, 16).transpose(0, 2, 1, 3)
     mode16_g = mode16.reshape(hmb, wmb)
@@ -91,17 +112,27 @@ def wavefront_mixed_luma_impl(y_src, mode16, mode4, cmode, cbp_c,
 
     def step(d, carry):
         (recon, tcl, cbpl, i4flag,
-         o_choice, o_i16dc, o_i16ac, o_lv4, o_pf, o_rm, o_cbp) = carry
-        r0 = jnp.maximum(0, (d - wmb + 2) // 2)
-        rs = r0 + slot
-        cs = d - 2 * rs
+         o_choice, o_i16dc, o_i16ac, o_lv4, o_pf, o_rm, o_cbp,
+         h_row, h_i4, h_tc, h_cbp) = carry
+        if band is None:
+            r0 = jnp.maximum(0, (d - wmb + 2) // 2)
+            rs = r0 + slot
+            cs = d - 2 * rs
+        else:
+            rs = slot
+            cs = d - 2 * (row0 + rs)
         valid = (rs < hmb) & (cs >= 0) & (cs < wmb)
         rc = jnp.where(valid, rs, 0)
         cc = jnp.where(valid, cs, 0)
         rw = jnp.where(valid, rs, hmb)  # scratch row for invalid writes
 
         left_ok = (cc > 0) & valid
-        top_ok = (rc > 0) & valid
+        top_in = (rc > 0) & valid
+        if band is not None:
+            top_halo = (rc == 0) & has_top & valid
+        else:
+            top_halo = jnp.zeros_like(top_in)
+        top_ok = top_in | top_halo
         corner_ok = left_ok & top_ok
         tr_ok = top_ok & (cc + 1 < wmb)
         rm1 = jnp.maximum(rc - 1, 0)
@@ -112,14 +143,23 @@ def wavefront_mixed_luma_impl(y_src, mode16, mode4, cmode, cbp_c,
         top_mb = recon[rm1, cc]
         tl_mb = recon[rm1, cm1]
         tr_mb = recon[rm1, cp1]
+        # every cross-MB read below touches only ROW 15 of the top-side
+        # MBs: swap in the exchanged bottom-row halo at the band's top
+        top_row15 = top_mb[:, 15, :]
+        tl_r15 = tl_mb[:, 15, :]
+        tr_r15 = tr_mb[:, 15, :]
+        if band is not None:
+            top_row15 = jnp.where(top_in[:, None], top_row15, h_row[cc])
+            tl_r15 = jnp.where(top_in[:, None], tl_r15, h_row[cm1])
+            tr_r15 = jnp.where(top_in[:, None], tr_r15, h_row[cp1])
 
         srcs = src_grid[rc, cc]  # (smax, 16, 16)
         src_zblocks = mb_blocks(srcs)  # (smax, 16, 4, 4)
 
         # ---------------- I16 candidate --------------------------------
         lcol = jnp.where(left_ok[:, None], left_mb[:, :, 15], -1)
-        trow = jnp.where(top_ok[:, None], top_mb[:, 15, :], -1)
-        corner = jnp.where(corner_ok, tl_mb[:, 15, 15], -1)
+        trow = jnp.where(top_ok[:, None], top_row15, -1)
+        corner = jnp.where(corner_ok, tl_r15[:, 15], -1)
         p33 = jnp.concatenate([corner[:, None], lcol, trow], axis=-1)
         m16 = mode16_g[rc, cc]
         preds16 = intra.predict_16x16_all_modes(p33)
@@ -147,9 +187,13 @@ def wavefront_mixed_luma_impl(y_src, mode16, mode4, cmode, cbp_c,
         pf = jnp.zeros((smax, 16), bool)
         rm = jnp.zeros((smax, 16), jnp.int32)
         i4_left = (i4flag[rc, cm1] != 0) & left_ok
-        i4_top = (i4flag[rm1, cc] != 0) & top_ok
-        m4_left = mode4_g[rc, cm1]  # (smax, 16)
+        i4_top_v = i4flag[rm1, cc]
         m4_top = mode4_g[rm1, cc]
+        if band is not None:
+            i4_top_v = jnp.where(top_in, i4_top_v, h_i4[cc])
+            m4_top = jnp.where(top_in[:, None], m4_top, m4_halo[cc])
+        i4_top = (i4_top_v != 0) & top_ok
+        m4_left = mode4_g[rc, cm1]  # (smax, 16)
         m4_own = mode4_g[rc, cc]
         for z in range(16):
             bx, by = _BXY[z]
@@ -162,16 +206,16 @@ def wavefront_mixed_luma_impl(y_src, mode16, mode4, cmode, cbp_c,
             if by > 0:
                 t4 = work[:, by - 1, bx : bx + 4]
             else:
-                t4 = jnp.where(top_ok[:, None], top_mb[:, 15, bx : bx + 4],
+                t4 = jnp.where(top_ok[:, None], top_row15[:, bx : bx + 4],
                                -1)
             if bx > 0 and by > 0:
                 cn = work[:, by - 1, bx - 1]
             elif bx == 0 and by > 0:
                 cn = jnp.where(left_ok, left_mb[:, by - 1, 15], -1)
             elif bx > 0 and by == 0:
-                cn = jnp.where(top_ok, top_mb[:, 15, bx - 1], -1)
+                cn = jnp.where(top_ok, top_row15[:, bx - 1], -1)
             else:
-                cn = jnp.where(corner_ok, tl_mb[:, 15, 15], -1)
+                cn = jnp.where(corner_ok, tl_r15[:, 15], -1)
             last = t4[:, 3]
             repl = z in (3, 11) or (bx == 12 and by > 0)
             if repl:
@@ -179,10 +223,10 @@ def wavefront_mixed_luma_impl(y_src, mode16, mode4, cmode, cbp_c,
             elif by > 0:
                 ar = work[:, by - 1, bx + 4 : bx + 8]
             elif bx == 12:  # z == 5: above-right lives in the NE MB
-                ar = jnp.where(tr_ok[:, None], tr_mb[:, 15, 0:4],
+                ar = jnp.where(tr_ok[:, None], tr_r15[:, 0:4],
                                last[:, None])
             else:
-                ar = top_mb[:, 15, bx + 4 : bx + 8]
+                ar = top_row15[:, bx + 4 : bx + 8]
             if by == 0:
                 # frame-top edge: whole p[5:13] stays -1 like the host
                 ar = jnp.where(top_ok[:, None], ar, -1)
@@ -241,6 +285,9 @@ def wavefront_mixed_luma_impl(y_src, mode16, mode4, cmode, cbp_c,
         tcl_top = tcl[rm1, cc]
         cbp_left = cbpl[rc, cm1]
         cbp_top = cbpl[rm1, cc]
+        if band is not None:
+            tcl_top = jnp.where(top_in[:, None], tcl_top, h_tc[cc])
+            cbp_top = jnp.where(top_in, cbp_top, h_cbp[cc])
 
         def nc_grid(tc_own, cbp_own):
             cols = []
@@ -317,8 +364,25 @@ def wavefront_mixed_luma_impl(y_src, mode16, mode4, cmode, cbp_c,
         o_pf = o_pf.at[idx].set(pf)
         o_rm = o_rm.at[idx].set(rm)
         o_cbp = o_cbp.at[idx].set(cbp_w)
+        if band is not None:
+            # bottom-row final state to tile t+1 (margin 1: its matching
+            # read is at the next wave under d = 2r + c)
+            seg = (recon_new[hmb - 1, 15, :],
+                   choice.astype(jnp.int32)[hmb - 1],
+                   jnp.where(choice[:, None], tc4_state,
+                             tc16_state)[hmb - 1],
+                   cbp_w[hmb - 1])
+            seg = jax.lax.ppermute(seg, axis, perm)
+            icol = d - 2 * row0 + 2
+            ivalid = (icol >= 0) & (icol < wmb) & has_top
+            ic = jnp.clip(icol, 0, wmb - 1)
+            h_row = h_row.at[ic].set(jnp.where(ivalid, seg[0], h_row[ic]))
+            h_i4 = h_i4.at[ic].set(jnp.where(ivalid, seg[1], h_i4[ic]))
+            h_tc = h_tc.at[ic].set(jnp.where(ivalid, seg[2], h_tc[ic]))
+            h_cbp = h_cbp.at[ic].set(jnp.where(ivalid, seg[3], h_cbp[ic]))
         return (recon, tcl, cbpl, i4flag,
-                o_choice, o_i16dc, o_i16ac, o_lv4, o_pf, o_rm, o_cbp)
+                o_choice, o_i16dc, o_i16ac, o_lv4, o_pf, o_rm, o_cbp,
+                h_row, h_i4, h_tc, h_cbp)
 
     carry0 = (
         jnp.zeros((hmb + 1, wmb, 16, 16), jnp.int32),
@@ -332,10 +396,22 @@ def wavefront_mixed_luma_impl(y_src, mode16, mode4, cmode, cbp_c,
         jnp.zeros((nmb + 1, 16), bool),
         jnp.zeros((nmb + 1, 16), jnp.int32),
         jnp.zeros((nmb + 1,), jnp.int32),
+        jnp.zeros((wmb, 16), jnp.int32),
+        jnp.zeros((wmb,), jnp.int32),
+        jnp.zeros((wmb, 16), jnp.int32),
+        jnp.zeros((wmb,), jnp.int32),
     )
+    if band is not None:
+        axes = tuple(vary_axes) or (axis,)
+        if hasattr(jax.lax, "pcast"):
+            cast = lambda x: jax.lax.pcast(x, axes, to="varying")  # noqa: E731
+        else:  # pragma: no cover — older jax
+            cast = lambda x: jax.lax.pvary(x, axes)  # noqa: E731
+        carry0 = jax.tree_util.tree_map(cast, carry0)
     out = jax.lax.fori_loop(0, nwave, step, carry0)
     (recon, tcl, cbpl, i4flag,
-     o_choice, o_i16dc, o_i16ac, o_lv4, o_pf, o_rm, o_cbp) = out
+     o_choice, o_i16dc, o_i16ac, o_lv4, o_pf, o_rm, o_cbp,
+     _, _, _, _) = out
     frame = recon[:hmb].transpose(0, 2, 1, 3).reshape(hmb * 16, wmb * 16)
     return {
         "recon_y": frame,

@@ -42,7 +42,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..bitstream import nal as nal_mod
 from ..bitstream.bitio import BitWriter
 from ..bitstream.params import I_SLICE, PPS, SPS, SliceHeader
-from ..codec.tpu_entropy import i16_slice_entropy_impl
+from ..codec.tpu_entropy import (
+    chroma_setup,
+    i16_slice_entropy_impl,
+    mixed_slice_entropy_impl,
+)
 from ..codec.tpu_intra import intra_mode_decision_impl
 from ..ops import intra, transform
 from ..ops.cavlc_jax import words_to_bytes
@@ -265,9 +269,24 @@ def _band_state_last_row(i16dc, i16ac, cdc, cac, wmb: int, hloc: int):
     return tc_l, cbp_l, tc_c, cbp_c
 
 
+def _chroma_state_last_row(cdc, cac, wmb: int, hloc: int):
+    """Final chroma TC/CBP of the band's last MB row (the next band's
+    chroma nC top context — chroma_setup writeback semantics)."""
+    nmbl = wmb * hloc
+    last = slice(nmbl - wmb, nmbl)
+    cdcl = cdc[:, last]
+    cacl = cac[:, last]
+    has_cdc = cdcl.reshape(2, wmb, -1).any(axis=(0, 2))
+    has_cac = cacl.reshape(2, wmb, -1).any(axis=(0, 2))
+    cbp_c = jnp.where(has_cac, 2, jnp.where(has_cdc, 1, 0))
+    tc_c = jnp.where((cbp_c == 2)[None, :, None],
+                     (cacl != 0).sum(axis=-1), 0)
+    return tc_c, cbp_c
+
+
 def _make_band(wmb: int, hmb: int, hloc: int, n_tile: int, qp: int,
                qpc: int, nw, cap, vary_axes: tuple = (),
-               hmb_real: int | None = None):
+               hmb_real: int | None = None, mode: str = "i16"):
     """Per-band device I-frame encode step (one MB-row band of one frame):
     source-halo ppermute → mode decision → global banded wavefront →
     cross-band nC-context ppermute → per-band slice entropy. Collectives
@@ -276,9 +295,18 @@ def _make_band(wmb: int, hmb: int, hloc: int, n_tile: int, qp: int,
 
     hmb_real: the frame's true MB rows when hmb is the padded row count
     of an uneven split (hmb = n_tile * hloc >= hmb_real); padded MBs are
-    reconstructed (their outputs discarded) but emit zero payload bits."""
+    reconstructed (their outputs discarded) but emit zero payload bits.
+
+    mode: "i16" or "mixed" — mixed runs the banded chroma wavefront,
+    then the banded exact I4x4-vs-I16 arbitration wavefront
+    (kernels/wavefront_mixed.py band mode: reconstructed-row, choice,
+    TotalCoeff and CBP halos per wave, plus a static pre-exchanged
+    bottom-row mode4 halo for the MPM derivation)."""
     perm = [(i, i + 1) for i in range(n_tile - 1)]
     uneven = hmb_real is not None and hmb_real != hmb
+    if mode == "mixed":
+        return _make_band_mixed(wmb, hmb, hloc, n_tile, qp, qpc, nw, cap,
+                                vary_axes, hmb_real, perm)
 
     def band(y, cb, cr):
         # local shapes: y (hloc*16, W), cb/cr (hloc*8, W/2)
@@ -316,6 +344,67 @@ def _make_band(wmb: int, hmb: int, hloc: int, n_tile: int, qp: int,
     return band
 
 
+def _make_band_mixed(wmb: int, hmb: int, hloc: int, n_tile: int, qp: int,
+                     qpc: int, nw, cap, vary_axes: tuple,
+                     hmb_real: int | None, perm):
+    uneven = hmb_real is not None and hmb_real != hmb
+    from ..kernels.wavefront import wavefront_chroma_impl
+    from ..kernels.wavefront_mixed import wavefront_mixed_luma_impl
+
+    def band(y, cb, cr):
+        y = y.astype(jnp.int32)
+        cb = cb.astype(jnp.int32)
+        cr = cr.astype(jnp.int32)
+        t = jax.lax.axis_index("tile")
+        has_top = t > 0
+        bspec = ("tile", n_tile, hmb, tuple(vary_axes))
+        # source top halo for the mode decision (I16 + I4x4 SATD both
+        # read the pre-decision SOURCE row above, like the GPU fast path)
+        top_row = jax.lax.ppermute(y[-1], "tile", perm)
+        top_row = jnp.where(has_top, top_row, -1)
+        md = intra_mode_decision_impl(y, wmb=wmb, hmb=hloc, qp=qp,
+                                      top_row=top_row, modes_only=True)
+        m16 = md["mode16"]
+        mode4 = md["mode4"]
+        cmode = jnp.asarray(INTRA16_TO_CHROMA_MODE)[m16]
+        # banded chroma wavefront (recon-row halos per wave)
+        rcb8, rcr8, cdc, cac = wavefront_chroma_impl(
+            cb, cr, cmode, wmb=wmb, hmb=hloc, qp=qpc, band=bspec)
+        # chroma nC context from the band above (chroma_setup feeds the
+        # arbitration's exact chroma bit counts)
+        t_tc_c, t_cbp_c = jax.lax.ppermute(
+            _chroma_state_last_row(cdc, cac, wmb, hloc), "tile", perm)
+        ch = chroma_setup(cdc, cac, wmb, hloc,
+                          top_ctx=(t_tc_c, t_cbp_c, has_top))
+        # static mode4 halo: the band above's last-row pre-decided modes
+        hm4 = jax.lax.ppermute(
+            mode4.reshape(hloc, wmb, 16)[-1], "tile", perm)
+        mx = wavefront_mixed_luma_impl(
+            y, m16, mode4, cmode, ch["cbp_chroma"], ch["bits"],
+            wmb=wmb, hmb=hloc, qp=qp, band=bspec, m4_halo=hm4)
+        # luma nC context for the entropy stage: the band's final
+        # last-row TotalCoeff/CBP state (identical to the per-wave halo)
+        nmbl = wmb * hloc
+        last = slice(nmbl - wmb, nmbl)
+        t_tc_l, t_cbp_l = jax.lax.ppermute(
+            (mx["tc_luma"][last], mx["cbp_luma"][last]), "tile", perm)
+        valid = None
+        if uneven:
+            grow = t * hloc + jnp.arange(nmbl) // wmb
+            valid = grow < hmb_real
+        ent = mixed_slice_entropy_impl(
+            mx["choice4"], m16, cmode, mx["i16dc"], mx["i16ac"],
+            mx["lv4"], mx["prev_flags"], mx["rem_modes"],
+            mx["cbp_luma"], mx["tc_luma"], cdc, cac,
+            wmb=wmb, hmb=hloc, nw=nw, cap=cap,
+            top_ctx=(t_tc_l, t_cbp_l, t_tc_c, t_cbp_c, has_top),
+            valid=valid)
+        return (ent["words"], ent["nbits"], ent["pack_ok"],
+                mx["recon_y"], rcb8, rcr8)
+
+    return band
+
+
 class TileIntraEncoder:
     """All-intra encoder with each frame's encode sharded over an MB-row
     ``tile`` mesh: mode decision, wavefront reconstruction, and per-band
@@ -324,9 +413,10 @@ class TileIntraEncoder:
     single-device device_i16_frame path."""
 
     def __init__(self, width: int, height: int, qp: int,
-                 devices=None) -> None:
+                 devices=None, mode: str = "i16") -> None:
         assert width % 16 == 0 and height % 16 == 0
         self.w, self.h, self.qp = width, height, qp
+        self.mode = mode
         self.wmb, self.hmb = width // 16, height // 16
         self.qpc = transform.chroma_qp(qp, 0)
         self.devices = list(devices) if devices is not None else jax.devices()
@@ -348,7 +438,7 @@ class TileIntraEncoder:
             return self._cache[nw, cap]
         band = _make_band(self.wmb, self.hmb_pad, self.hloc, self.n_tile,
                           self.qp, self.qpc, nw, cap,
-                          hmb_real=self.hmb)
+                          hmb_real=self.hmb, mode=self.mode)
 
         def one(y, cb, cr):
             ent_words, ent_nbits, ent_ok, ry, rcb, rcr = band(y, cb, cr)
@@ -428,9 +518,11 @@ class GopTileIntraEncoder:
     streams are byte-identical to the serial device path."""
 
     def __init__(self, width: int, height: int, qp: int,
-                 n_gop: int, n_tile: int, devices=None) -> None:
+                 n_gop: int, n_tile: int, devices=None,
+                 mode: str = "i16") -> None:
         assert width % 16 == 0 and height % 16 == 0
         self.w, self.h, self.qp = width, height, qp
+        self.mode = mode
         self.wmb, self.hmb = width // 16, height // 16
         self.qpc = transform.chroma_qp(qp, 0)
         devs = list(devices) if devices is not None else jax.devices()
@@ -451,7 +543,8 @@ class GopTileIntraEncoder:
             return self._cache[nw, cap]
         band = _make_band(self.wmb, self.hmb_pad, self.hloc, self.n_tile,
                           self.qp, self.qpc, nw, cap,
-                          vary_axes=("gop", "tile"), hmb_real=self.hmb)
+                          vary_axes=("gop", "tile"), hmb_real=self.hmb,
+                          mode=self.mode)
 
         def shard(y, cb, cr):
             # local: y (B/n_gop, hloc*16, W) — vmap the band step over the

@@ -78,3 +78,43 @@ def test_tile_recon_matches_decoder(clip):
     np.testing.assert_array_equal(y, ry.astype(np.uint8))
     np.testing.assert_array_equal(cb, rcb.astype(np.uint8))
     np.testing.assert_array_equal(cr, rcr.astype(np.uint8))
+
+
+@pytest.mark.parametrize("n_tile", [3, 2])
+def test_tile_mixed_equals_single_device(clip, n_tile):
+    """Banded MIXED-mode I-frames (exact I4x4-vs-I16 arbitration with
+    reconstructed-row / choice / TotalCoeff / CBP / mode4 halos) are
+    byte-identical to the single-device mixed path — incl. the uneven
+    split (hmb=9 over 2 tiles)."""
+    import jax
+
+    from h264_fer_tpu.codec.decoder import Decoder
+    from h264_fer_tpu.parallel.gop_device import GopIntraEncoder
+    from h264_fer_tpu.parallel.tile import TileIntraEncoder
+
+    frames = clip[:2]
+    serial = GopIntraEncoder(
+        176, 144, 26, mode="mixed",
+        devices=jax.devices()[:1]).encode_sequence(frames)
+    tiled = TileIntraEncoder(
+        176, 144, 26, devices=jax.devices()[:n_tile],
+        mode="mixed").encode_sequence(frames)
+    assert tiled == serial
+    outs = list(Decoder().decode_annexb(tiled))
+    assert len(outs) == len(frames)
+
+
+def test_gop_tile_2d_mixed_equals_serial(clip):
+    """The 2-D (gop, tile) mesh with mixed-mode I-frames."""
+    import jax
+
+    from h264_fer_tpu.parallel.gop_device import GopIntraEncoder
+    from h264_fer_tpu.parallel.tile import GopTileIntraEncoder
+
+    frames = clip[:3]
+    serial = GopIntraEncoder(
+        176, 144, 28, mode="mixed",
+        devices=jax.devices()[:1]).encode_sequence(frames)
+    genc = GopTileIntraEncoder(176, 144, 28, n_gop=2, n_tile=3,
+                               mode="mixed")
+    assert genc.encode_sequence(frames) == serial
