@@ -59,7 +59,7 @@ def _content(n, w=W, h=H):
     return frames
 
 
-def _intra_e2e(w, h, n_frames, reps=3):
+def _intra_e2e(w, h, n_frames, reps=5):
     """Median-of-reps fps of the pipelined all-intra sequence encode,
     parity- and decode-gated over EVERY frame."""
     import jax
